@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the linkgraph engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (lineitem → edge table → connected
+components) on sf0.001.  ``queries()`` exposes one callable per implemented
+operator/pipeline from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (identical column names).  The
+iterative graph kernels (CC / PageRank / label propagation) are not
+SQL-expressible — they get rows-only driver checks and are oracle-tested in
+``tests/`` against NumPy union-find / dense power iteration (FIXTURES.md §6).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,177 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: edges → CC labels."""
+    from linkgraph.pipelines import flagship
+
+    res = flagship("/root/testdata/sf0.001", num_partitions=8)
+    return res.labels
+
+
+def _cc_labels(sf_dir: str):
+    from linkgraph.pipelines import flagship
+
+    return flagship(sf_dir, num_partitions=8).labels
+
+
+def _cc_sizes(sf_dir: str):
+    from linkgraph.cc import component_stats
+    from linkgraph.pipelines import flagship
+
+    sizes, _ = component_stats(flagship(sf_dir, num_partitions=8).labels)
+    return sizes
+
+
+def _labelprop(sf_dir: str):
+    from linkgraph.labelprop import label_propagation
+    from linkgraph.pipelines import copurchase_edges
+
+    return label_propagation(copurchase_edges(sf_dir), num_partitions=8).labels
+
+
+def _pagerank_top100(sf_dir: str):
+    from linkgraph.pagerank import pagerank
+    from linkgraph.pipelines import edges_from_lineitem
+
+    res = pagerank(
+        edges_from_lineitem(sf_dir), directed=False, num_partitions=8, tol=1e-10
+    )
+    return res.ranks.sort(["rank", "vertex"], descending=[True, False]).limit(100)
+
+
+def _triangles(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph.pipelines import copurchase_edges
+    from linkgraph.triangles import triangle_count
+
+    n = triangle_count(copurchase_edges(sf_dir), num_partitions=8)
+    return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
+def _extraction_cc(sf_dir: str):
+    """North-rule pipeline on deterministic synthetic pages (no pages table
+    exists in the sf dirs): pages → href extraction → CC label table."""
+    import ray.data as rd
+
+    from linkgraph import synth
+    from linkgraph.pipelines import pages_pipeline
+
+    pages, _, _ = synth.make_pages(300, seed=42, num_components=5)
+    return pages_pipeline(rd.from_arrow(pages), num_partitions=8).labels
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from linkgraph import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface (DuckDB-oracled)
+        "lineitem_pricing_summary": R.lineitem_pricing_summary,
+        "orders_priority_stats": R.orders_priority_stats,
+        "events_by_type": R.events_by_type,
+        "events_hourly": R.events_hourly,
+        "orders_per_segment": R.orders_per_segment,
+        "customers_per_nation": R.customers_per_nation,
+        "top_docs_by_chars": R.top_docs_by_chars,
+        "lang_distribution": R.lang_distribution,
+        "distinct_users": R.distinct_users,
+        "exact_dedup_docs": R.exact_dedup_docs,
+        "token_counts": R.token_counts,
+        "graph_degree_top20": R.graph_degree_top20,
+        "knn_vec0_top10": R.knn_vec0_top10,
+        # graph kernels (rows-only; NumPy-oracled in tests/)
+        "cc_labels": _cc_labels,
+        "cc_component_sizes": _cc_sizes,
+        "labelprop_labels": _labelprop,
+        "pagerank_top100": _pagerank_top100,
+        "triangle_count": _triangles,
+        "extraction_cc": _extraction_cc,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_priority_stats": """
+            SELECT o_orderpriority,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   avg(o_totalprice) AS avg_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(value) AS sum_value, avg(value) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_per_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(o_totalprice) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_per_nation": """
+            SELECT n_name, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, n_chars, lang FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_counts": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "graph_degree_top20": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000 AS dst
+              FROM lineitem
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+            )
+            SELECT src AS vertex, count(*) AS degree FROM sym
+            GROUP BY 1 ORDER BY degree DESC, vertex LIMIT 20
+        """,
+        "knn_vec0_top10": """
+            SELECT e2.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e2.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cos_sim
+            FROM embeddings e2
+            WHERE e2.vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,172 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "detail": {...edges/sec, iterations...}}
+
+``--scaling`` runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports throughput at both
+plus scaling efficiency (BASELINE.md sandbox adaptation of the north rule's
+N-vs-4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from linkgraph import relational as R
+    from linkgraph import synth
+    from linkgraph.cc import connected_components
+    from linkgraph.pagerank import pagerank
+    from linkgraph.pipelines import edges_from_lineitem, pages_pipeline
+    from linkgraph.triangles import triangle_count
+
+    num_partitions = 2 * num_cpus
+    queries: dict[str, float] = {}
+    detail: dict[str, object] = {}
+
+    # warm the page cache (untimed read)
+    edges_from_lineitem(sf_dir).count()
+
+    # --- CC (flagship) ---
+    t0 = time.perf_counter()
+    edges = edges_from_lineitem(sf_dir)
+    n_edges = edges.count()
+    cc_res = connected_components(edges, num_partitions=num_partitions)
+    queries["cc"] = time.perf_counter() - t0
+    detail["cc"] = {
+        "edges": n_edges,
+        "rounds": cc_res.num_iterations,
+        "components": cc_res.num_components,
+        "edges_per_sec": n_edges / queries["cc"],
+        "edges_per_sec_per_superstep": n_edges
+        * cc_res.num_iterations
+        / queries["cc"],
+    }
+
+    # --- PageRank (fixed 10 supersteps; throughput per superstep) ---
+    PR_ITERS = 10
+    t0 = time.perf_counter()
+    pr = pagerank(
+        edges_from_lineitem(sf_dir),
+        directed=False,
+        num_partitions=num_partitions,
+        tol=0.0,
+        max_iters=PR_ITERS,
+    )
+    queries["pagerank"] = time.perf_counter() - t0
+    sym_edges = 2 * n_edges
+    detail["pagerank"] = {
+        "iterations": pr.num_iterations,
+        "num_vertices": pr.num_vertices,
+        "mode": pr.metrics[-1].get("mode"),
+        "edges_per_sec_per_superstep": sym_edges
+        * pr.num_iterations
+        / queries["pagerank"],
+    }
+
+    # --- extraction → CC on synthetic pages (north-rule pipeline) ---
+    t0 = time.perf_counter()
+    pages, _, _ = synth.make_pages(2000, seed=42, num_components=8)
+    pres = pages_pipeline(
+        rd.from_arrow(pages).repartition(num_cpus), num_partitions=num_partitions
+    )
+    queries["extract_cc"] = time.perf_counter() - t0
+    detail["extract_cc"] = {"components": pres.num_components}
+
+    # --- relational headline (Q1-shaped aggregate) ---
+    t0 = time.perf_counter()
+    R.lineitem_pricing_summary(sf_dir).to_pandas()
+    queries["pricing_summary"] = time.perf_counter() - t0
+
+    # --- join + groupby ---
+    t0 = time.perf_counter()
+    R.orders_per_segment(sf_dir).to_pandas()
+    queries["orders_per_segment"] = time.perf_counter() - t0
+
+    # --- dedup ---
+    t0 = time.perf_counter()
+    R.exact_dedup_docs(sf_dir).count()
+    queries["exact_dedup"] = time.perf_counter() - t0
+
+    # --- similarity ---
+    t0 = time.perf_counter()
+    R.knn_vec0_top10(sf_dir).to_pandas()
+    queries["knn"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    total = sum(queries.values())
+    return {
+        "metric": "headline_pipelines_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "detail": detail,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    # scaling efficiency on the iterative kernels (cc + pagerank), the
+    # north-rule headline
+    t_lo = r_lo["queries"]["cc"] + r_lo["queries"]["pagerank"]
+    t_hi = r_hi["queries"]["cc"] + r_hi["queries"]["pagerank"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_cc_pagerank",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": round(t_lo, 3),
+        "sec_hi": round(t_hi, 3),
+        "full_lo": r_lo,
+        "full_hi": r_hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,312 @@
+"""Connected components — the engine's flagship kernel.
+
+Semantics are the reference's: undirected graph, self-loops dropped
+(``src/graph.c:71-73``), canonical labels = minimum vertex id per component
+(``src/cc_sequential.c:325-331``; all four sequential reference variants are
+bit-identical on this labeling, ``benchmarks/benchmark_sequential.c:84-97``),
+iterations-to-convergence reported (``src/cc_sequential.c:489``).
+
+The *algorithm* is Ray-Data-native, replacing all 19 reference variants
+(SURVEY.md §2.10) with one dataflow design:
+
+1. **Partition-local union-find contraction** — each Arrow block of edges is
+   collapsed to its spanning-forest root pairs inside a stateless
+   ``map_batches`` (the dataflow analogue of the reference's per-rank local
+   union-find, ``src/mpi/cc_mpi.c:2091-2121``).  This is where the bulk of a
+   100 TB edge table disappears: a block with E edges over V distinct
+   vertices emits ≤ V-1 pairs.
+2. **Alternating large-star / small-star supersteps** (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond") — each phase is one
+   ``groupby().aggregate(Min)`` + one hash join + a vectorized emit, i.e.
+   exactly the min-label exchange the MPI variants perform with
+   Allgatherv/halo exchanges (``src/mpi/cc_mpi.c:388-571``), converging in
+   O(log^2 V) rounds instead of O(diameter).
+3. **Convergence** = multiset-fingerprint stability (the dataflow analogue of
+   the reference's ``MPI_Allreduce`` changed-flag,
+   ``src/mpi/cc_mpi.c:518-525``), with a ``max_rounds`` cap mirroring the
+   reference's iteration caps (``src/mpi/cc_mpi.c:2060``).
+
+Sync, deterministic semantics only (double-buffer style,
+``src/cc_openmp.c:62-125``): results are identical at any partition count or
+CPU count — required for the determinism tests and the per-url byte-identical
+invariant.  Every superstep optionally checkpoints through
+``checkpoint.Checkpointer`` (lineage + metrics, resume mid-iteration).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min
+
+from linkgraph import graph as G
+from linkgraph.checkpoint import Checkpointer
+from linkgraph.partition import bucket_join
+
+try:  # fast C path if scipy is available in the image
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as _scipy_cc
+
+    _HAVE_SCIPY = True
+except Exception:  # pragma: no cover
+    _HAVE_SCIPY = False
+
+
+# ---------------------------------------------------------------------------
+# local (per-block) union-find contraction
+# ---------------------------------------------------------------------------
+
+def _local_components(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+    """Component min-index per local vertex, vectorized (no Python edge loop).
+
+    Hook-and-compress in the Shiloach-Vishkin style
+    (ref ``src/cc_openmp.c:253-310``): repeatedly pull the min parent across
+    edges, then pointer-jump until stable.  O(E log V) numpy work.
+    """
+    p = np.arange(n, dtype=np.int64)
+    while True:
+        before = p
+        mn = np.minimum(p[u], p[v])
+        np.minimum.at(p, u, mn)
+        np.minimum.at(p, v, mn)
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        if np.array_equal(before, p):
+            return p
+
+
+def _contract_batch(t: pa.Table) -> pa.Table:
+    """Collapse one edge block to its spanning-forest pairs (root, child).
+
+    root < child always (root is the component-min id within the block), so
+    output rows keep the canonical src<dst orientation.
+    """
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return pa.table({"src": src, "dst": dst})
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u, v = inv[: len(src)], inv[len(src) :]
+    n = len(ids)
+    if _HAVE_SCIPY:
+        m = coo_matrix((np.ones(len(u), np.int8), (u, v)), shape=(n, n))
+        _, comp = _scipy_cc(m, directed=False)
+        roots = np.full(comp.max() + 1, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(roots, comp, np.arange(n, dtype=np.int64))
+        p = roots[comp]
+    else:
+        p = _local_components(u, v, n)
+    child = np.nonzero(p != np.arange(n))[0]
+    return pa.table({"src": ids[p[child]], "dst": ids[child]})
+
+
+def contract(edges: rd.Dataset, batch_size: int | None = None) -> rd.Dataset:
+    """Partition-local contraction over canonical edges (stateless tasks)."""
+    return edges.map_batches(
+        _contract_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star supersteps
+# ---------------------------------------------------------------------------
+
+def _emit_large(t: pa.Table) -> pa.Table:
+    """From joined (u, v, mn): emit (min(u, mn), v) for rows with v > u."""
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    mn = t["mn"].to_numpy(zero_copy_only=False)
+    keep = v > u
+    m = np.minimum(u[keep], mn[keep])
+    return pa.table({"src": m, "dst": v[keep]})
+
+
+def large_star(pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Connect all strictly-larger neighbors of u to min(N(u) ∪ {u})."""
+    sym = pairs.union(
+        pairs.map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow",
+        )
+    ).rename_columns({"src": "u", "dst": "v"})
+    m = sym.groupby("u", num_partitions=num_partitions).aggregate(
+        Min("v", alias_name="mn")
+    )
+    joined = bucket_join(
+        sym,
+        m,
+        ["u"],
+        num_buckets=num_partitions,
+        left_payload={"v": pa.int64()},
+        right_payload={"mn": pa.int64()},
+    )
+    return joined.map_batches(_emit_large, batch_format="pyarrow")
+
+
+def _emit_small_members(t: pa.Table) -> pa.Table:
+    """From joined (src, dst, mn): emit (mn, src) where src != mn."""
+    s = t["src"].to_numpy(zero_copy_only=False)
+    mn = t["mn"].to_numpy(zero_copy_only=False)
+    keep = s != mn
+    return pa.table({"src": mn[keep], "dst": s[keep]})
+
+
+def _emit_small_owner(t: pa.Table) -> pa.Table:
+    """From (dst, mn): each group owner dst points at its min neighbor."""
+    return pa.table({"src": t["mn"], "dst": t["dst"]})
+
+
+def small_star(pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Connect all smaller neighbors of u (and u) to min(N(u)).
+
+    Input rows satisfy src < dst (guaranteed by contraction / large_star),
+    so grouping by dst sees exactly the smaller neighbors.
+    """
+    m = pairs.groupby("dst", num_partitions=num_partitions).aggregate(
+        Min("src", alias_name="mn")
+    )
+    m = m.materialize()  # consumed twice (join + owner emit); keep one shuffle
+    joined = bucket_join(
+        pairs,
+        m,
+        ["dst"],
+        num_buckets=num_partitions,
+        left_payload={"src": pa.int64()},
+        right_payload={"mn": pa.int64()},
+    )
+    members = joined.map_batches(_emit_small_members, batch_format="pyarrow")
+    owners = m.map_batches(_emit_small_owner, batch_format="pyarrow")
+    return members.union(owners)
+
+
+# ---------------------------------------------------------------------------
+# driver loop
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CCResult:
+    """Engine equivalent of the reference's ``CCResult``
+    (``inc/cc_sequential.h:5-9``): labels live in a Dataset, not an array."""
+
+    labels: rd.Dataset
+    num_components: int
+    num_iterations: int
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def connected_components(
+    edges: rd.Dataset,
+    *,
+    vertices: rd.Dataset | None = None,
+    num_partitions: int | None = None,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
+    max_rounds: int = 64,
+    contract_batch_size: int | None = None,
+) -> CCResult:
+    """Min-id component labels for an (arbitrary, possibly dirty) edge table.
+
+    ``vertices`` — optional Dataset of all vertex ids (column ``vertex``);
+    pass it when isolated vertices (no incident edges) must be labeled.
+    Defaults to the vertices touched by ``edges``.
+    """
+    num_partitions = num_partitions or G.default_partitions()
+    ckpt = checkpointer or Checkpointer(None)
+    verts = vertices if vertices is not None else G.vertices_of(edges, num_partitions)
+
+    metrics: list[dict[str, Any]] = []
+    start_round = 0
+    pairs: rd.Dataset | None = None
+    if resume and checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            it, pairs, meta = latest
+            start_round = it + 1
+            metrics.append(meta)
+
+    if pairs is None:
+        t0 = time.perf_counter()
+        canon = G.canonicalize(edges)
+        pairs = ckpt.save(0, contract(canon, contract_batch_size), {"phase": "contract"})
+        metrics.append({"phase": "contract", "wall_s": time.perf_counter() - t0})
+        start_round = 1
+
+    fp = G.fingerprint(pairs)
+    rounds = 0
+    for r in range(start_round, start_round + max_rounds):
+        t0 = time.perf_counter()
+        ls = large_star(pairs, num_partitions)
+        ls = G.dedup_block(ls)
+        ss = small_star(ls, num_partitions)
+        ss = G.dedup_block(ss)
+        pairs = ckpt.save(r, ss, {"phase": "star", "round": r})
+        new_fp = G.fingerprint(pairs)
+        rounds += 1
+        m = {
+            "phase": "star",
+            "round": r,
+            "pairs": new_fp[0],
+            "wall_s": time.perf_counter() - t0,
+            "changed": int(new_fp != fp),
+        }
+        metrics.append(m)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
+
+    # labels: star children get their root; roots/isolated get themselves
+    as_labels = pairs.map_batches(
+        lambda t: pa.table({"vertex": t["dst"], "label": t["src"]}),
+        batch_format="pyarrow",
+    )
+    identity = verts.map_batches(
+        lambda t: pa.table({"vertex": t["vertex"], "label": t["vertex"]}),
+        batch_format="pyarrow",
+    )
+    labels = (
+        as_labels.union(identity)
+        .groupby("vertex", num_partitions=num_partitions)
+        .aggregate(Min("label", alias_name="label"))
+    )
+    labels = labels.materialize()
+    num_components = count_components(labels, num_partitions)
+    return CCResult(labels, num_components, rounds, metrics)
+
+
+def count_components(labels: rd.Dataset, num_partitions: int | None = None) -> int:
+    """Distinct-label count (ref ``count_unique_labels``, ``src/cc_common.c:7-38``)."""
+    return (
+        labels.select_columns(["label"])
+        .groupby("label", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .count()
+    )
+
+
+def component_stats(
+    labels: rd.Dataset, num_partitions: int | None = None
+) -> tuple[rd.Dataset, dict[str, float]]:
+    """Component size histogram + min/max/avg summary
+    (ref ``print_component_stats``, ``src/cc_common.c:40-94``)."""
+    sizes = (
+        labels.groupby("label", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="size"))
+    )
+    sizes = sizes.materialize()
+    summary_row = sizes.aggregate(
+        Min("size", alias_name="min_size"),
+        Max("size", alias_name="max_size"),
+        Mean("size", alias_name="avg_size"),
+        Count(alias_name="num_components"),
+    )
+    return sizes, {k: float(v) for k, v in summary_row.items()}

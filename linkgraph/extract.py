@@ -1,0 +1,202 @@
+"""HTML → href/text extraction over Common-Crawl-style pages.
+
+The reference has no extractor (its input is a pre-built MTX edge list,
+``src/mtx_reader.c:78-214``); this stage is specified by BASELINE.json's
+north rule: parse hrefs out of ``html`` via ``map_batches`` over zero-copy
+Arrow with **stateful actor-pool extractors** whose extracted text is
+**byte-identical per url** across runs, partitionings, and CPU counts.
+
+Determinism: extraction is a pure function of the html bytes + page url —
+compiled regexes only, no locale, no wall clock, fixed parser version
+(``PARSER_VERSION``).  Stateful setup (regex compilation) happens once per
+actor in ``__init__``; per-batch work is ``__call__`` (SURVEY.md §7 actor
+pool rules).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmlmod
+import re
+from urllib.parse import urldefrag, urljoin, urlsplit, urlunsplit
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+PARSER_VERSION = 1
+
+_SKIP_SCHEMES = ("mailto:", "javascript:", "data:", "tel:", "ftp:", "file:", "about:")
+
+
+def _compile():
+    return {
+        "script": re.compile(r"<script\b.*?</script\s*>", re.I | re.S),
+        "style": re.compile(r"<style\b.*?</style\s*>", re.I | re.S),
+        "comment": re.compile(r"<!--.*?-->", re.S),
+        "tag": re.compile(r"<[^>]*>"),
+        "ws": re.compile(r"\s+"),
+        "href": re.compile(
+            r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)')""", re.I | re.S
+        ),
+    }
+
+
+def extract_text(html_bytes: bytes, regexes: dict | None = None) -> str:
+    """Visible text: drop script/style/comments, strip tags, unescape,
+    collapse whitespace.  Pure; byte-stable per input."""
+    rx = regexes or _compile()
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = rx["script"].sub(" ", s)
+    s = rx["style"].sub(" ", s)
+    s = rx["comment"].sub(" ", s)
+    s = rx["tag"].sub(" ", s)
+    s = _htmlmod.unescape(s)
+    return rx["ws"].sub(" ", s).strip()
+
+
+def normalize_url(href: str, base_url: str) -> str | None:
+    """Resolve + canonicalize an href; None for non-link schemes.
+
+    Lowercases scheme/host, strips fragments, keeps http(s) only.
+    """
+    href = href.strip()
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if any(low.startswith(p) for p in _SKIP_SCHEMES):
+        return None
+    try:
+        resolved = urljoin(base_url, href)
+        resolved, _ = urldefrag(resolved)
+        parts = urlsplit(resolved)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https"):
+        return None
+    return urlunsplit(
+        (parts.scheme.lower(), parts.netloc.lower(), parts.path, parts.query, "")
+    )
+
+
+def extract_hrefs(
+    html_bytes: bytes, base_url: str, regexes: dict | None = None
+) -> list[str]:
+    """Ordered, de-duplicated, normalized out-links of one page."""
+    rx = regexes or _compile()
+    s = html_bytes.decode("utf-8", errors="replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in rx["href"].finditer(s):
+        raw = m.group(2) if m.group(2) is not None else m.group(3)
+        url = normalize_url(_htmlmod.unescape(raw), base_url)
+        if url is not None and url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
+class HrefExtractor:
+    """Actor-pool stage: pages batch → (src_url, dst_url) edge rows.
+
+    Regexes compile once per actor (``__init__``); each ``__call__``
+    processes one Arrow batch (SURVEY.md §2.3 stateful-stage mapping).
+    """
+
+    def __init__(self) -> None:
+        self.rx = _compile()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        src_out: list[str] = []
+        dst_out: list[str] = []
+        for u, h in zip(urls, htmls):
+            for link in extract_hrefs(h, u, self.rx):
+                src_out.append(u)
+                dst_out.append(link)
+        return pa.table(
+            {"src_url": pa.array(src_out, pa.string()), "dst_url": pa.array(dst_out, pa.string())}
+        )
+
+
+class TextExtractor:
+    """Actor-pool stage: pages batch → (url, text) rows (byte-stable)."""
+
+    def __init__(self) -> None:
+        self.rx = _compile()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h, self.rx) for h in batch["html"].to_pylist()]
+        return pa.table(
+            {"url": batch["url"], "text": pa.array(texts, pa.string())}
+        )
+
+
+def pages_to_url_edges(
+    pages: rd.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """pages → URL-level edge table via the extractor actor pool.
+
+    ``batch_size`` is small because html payloads are wide binary rows
+    (memory-aware batching, SURVEY.md guide rules).  Columns are pruned to
+    (url, html) before the pool so text/lang bytes never ship.
+    """
+    return pages.select_columns(["url", "html"]).map_batches(
+        HrefExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def pages_to_text(
+    pages: rd.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """pages → (url, text); the per-url byte-identical deliverable."""
+    return pages.select_columns(["url", "html"]).map_batches(
+        TextExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def url_to_id(url: str) -> int:
+    """Stable 63-bit vertex id of a normalized url (blake2b-8)."""
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
+    ) >> 1
+
+
+def _ids_batch(t: pa.Table) -> pa.Table:
+    src = np.fromiter(
+        (url_to_id(u) for u in t["src_url"].to_pylist()), dtype=np.int64, count=len(t)
+    )
+    dst = np.fromiter(
+        (url_to_id(u) for u in t["dst_url"].to_pylist()), dtype=np.int64, count=len(t)
+    )
+    return pa.table({"src": src, "dst": dst})
+
+
+def url_edges_to_ids(url_edges: rd.Dataset) -> rd.Dataset:
+    """(src_url, dst_url) → (src, dst) int64 via the stable url hash."""
+    return url_edges.map_batches(_ids_batch, batch_format="pyarrow")
+
+
+def url_id_map(pages: rd.Dataset) -> rd.Dataset:
+    """(url, vertex) mapping for joining results back to urls."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.fromiter(
+            (url_to_id(u) for u in t["url"].to_pylist()), dtype=np.int64, count=len(t)
+        )
+        return pa.table({"url": t["url"], "vertex": ids})
+
+    return pages.select_columns(["url"]).map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,180 @@
+"""Edge-table operations (normalize / symmetrize / dedup / orient / degrees).
+
+Semantics mirrored from the reference graph builder:
+self-loops dropped (``src/graph.c:71-73``), both directions stored for
+undirected traversal (``src/graph.c:87-102``), parallel edges permitted on
+input (``src/graph.c:75-104``) but explicitly deduplicated here before
+PageRank / triangle counting (SURVEY.md §2.7).  Everything is a lazy
+``ray.data.Dataset`` transform over Arrow blocks; the only shuffle is the
+global dedup groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+
+def default_partitions() -> int:
+    """Shuffle partition count ≈ 2x CPUs (SURVEY.md §4 parallelization row)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, 2 * cpus)
+
+
+def from_arrow_edges(table: pa.Table) -> rd.Dataset:
+    """Edge Dataset from an in-memory Arrow table (tests/fixtures)."""
+    return rd.from_arrow(table)
+
+
+def _drop_self_loops_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+
+def drop_self_loops(edges: rd.Dataset) -> rd.Dataset:
+    """Remove u==v rows (ref ``src/graph.c:71-73``)."""
+    return edges.map_batches(_drop_self_loops_batch, batch_format="pyarrow")
+
+
+def _orient_batch(t: pa.Table) -> pa.Table:
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    return pa.table({"src": lo, "dst": hi})
+
+
+def orient_lo_hi(edges: rd.Dataset) -> rd.Dataset:
+    """Undirected canonical orientation: (min, max) per edge.
+
+    The reference's "process each undirected edge once" projection
+    (``src/cc_sequential.c:416-429``).
+    """
+    return edges.map_batches(_orient_batch, batch_format="pyarrow")
+
+
+def _dedup_batch(t: pa.Table) -> pa.Table:
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    return pa.table({"src": pairs[:, 0], "dst": pairs[:, 1]})
+
+
+def dedup_block(edges: rd.Dataset) -> rd.Dataset:
+    """Block-local dedup — the cheap combiner before any global shuffle."""
+    return edges.map_batches(_dedup_batch, batch_format="pyarrow")
+
+
+def dedup_edges(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
+    """Exact global dedup: block combiner + groupby(src,dst) shuffle."""
+    g = dedup_block(edges).groupby(["src", "dst"], num_partitions=num_partitions)
+    return g.aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+
+
+def canonicalize(edges: rd.Dataset, global_dedup: bool = False) -> rd.Dataset:
+    """Self-loop drop + lo/hi orient + block dedup (+ optional global dedup).
+
+    Output rows satisfy src < dst, one row per undirected edge per block
+    (globally unique when ``global_dedup``).
+    """
+    out = dedup_block(orient_lo_hi(drop_self_loops(edges)))
+    if global_dedup:
+        out = dedup_edges(out)
+    return out
+
+
+def _swap_batch(t: pa.Table) -> pa.Table:
+    return pa.table({"src": t["dst"], "dst": t["src"]})
+
+
+def symmetrize(edges: rd.Dataset) -> rd.Dataset:
+    """Both-direction storage (ref ``src/graph.c:87-102``).
+
+    On a canonical (src<dst, deduped) input the result has exactly one row
+    per (vertex, neighbor) incidence.
+    """
+    return edges.union(edges.map_batches(_swap_batch, batch_format="pyarrow"))
+
+
+def out_degrees(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
+    """(vertex, degree) from directed edges — groupby count (one shuffle).
+
+    Ref degree stats: ``src/graph.c:234-252``.
+    """
+    return (
+        edges.groupby("src", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="degree"))
+        .rename_columns({"src": "vertex"})
+    )
+
+
+def undirected_degrees(
+    canonical_edges: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Degrees on the undirected simple graph (input must be canonical)."""
+    return out_degrees(symmetrize(canonical_edges), num_partitions)
+
+
+def _vertex_batch(t: pa.Table) -> pa.Table:
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    return pa.table({"vertex": np.unique(np.concatenate([src, dst]))})
+
+
+def vertices_of(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
+    """Distinct vertex ids touched by any edge (block unique + groupby)."""
+    flat = edges.map_batches(_vertex_batch, batch_format="pyarrow")
+    return (
+        flat.groupby("vertex", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["vertex"])
+    )
+
+
+# -- multiset fingerprint (convergence detection) ---------------------------
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """splitmix64-style mix of an (int64, int64) pair → uint64 (vectorized)."""
+    with np.errstate(over="ignore"):
+        x = a.astype(np.uint64) * _MIX + (b.astype(np.uint64) ^ _MIX)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _fp_batch(t: pa.Table) -> pa.Table:
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    with np.errstate(over="ignore"):
+        h = int(_mix64(src, dst).sum(dtype=np.uint64))
+    return pa.table({"n": pa.array([len(t)], pa.int64()), "h": pa.array([h], pa.uint64())})
+
+
+def fingerprint(edges: rd.Dataset) -> tuple[int, int]:
+    """Order-independent multiset fingerprint: (row count, sum of mix64(src,dst)).
+
+    Used as the superstep convergence test (the dataflow analogue of the
+    reference's ``MPI_Allreduce`` changed-flag, ``src/mpi/cc_mpi.c:518-525``).
+    Collision probability for a 64-bit sum fingerprint is negligible; a
+    ``max_rounds`` safety cap backs it up (ref caps at 1000 iterations,
+    ``src/mpi/cc_mpi.c:2060``).
+    """
+    partials = edges.map_batches(_fp_batch, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in partials)
+    h = 0
+    for p in partials:
+        h = (h + int(p["h"])) % (1 << 64)
+    return n, h

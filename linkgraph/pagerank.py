@@ -1,0 +1,394 @@
+"""PageRank as power-iteration supersteps over the edge table.
+
+Not present in the reference (north-star addition; SURVEY.md §2.10): the
+reference supplies only the CSR/partitioning substrate.  Design:
+
+- one-time: dedup the directed edge table (``src/graph.c:75-104`` keeps
+  parallel edges, so dedup is explicit here — SURVEY.md §2.7), compute
+  out-degrees, attach ``1/outdeg`` to every edge (bucketed hash join), and
+  initialise per-vertex state ``(vertex, rank=1/V, outdeg)``.
+- per superstep: ``r' = (1-d)/V + d·(Σ_in rank/outdeg + dangling/V)``;
+  convergence = L1 delta < tol (``tol <= 0`` → run exactly ``max_iters``
+  supersteps — the fixed-iteration mode used for oracle comparisons and
+  per-superstep throughput benchmarks).
+
+Two execution modes (``mode="auto"`` picks by vertex count):
+
+- **shuffle** — the 10^12-scale path: edges ⋈ ranks on ``src`` via the
+  bucketed hash join, block-local combiners by ``dst``, then
+  ``groupby(vertex).Sum`` carrying the previous rank in the same shuffle
+  (union trick) so the L1 delta and next dangling mass cost no extra pass.
+  Vertex state never leaves the cluster; two hash shuffles per superstep.
+- **broadcast** — the dataflow analogue of the reference's
+  full-``MPI_Allgatherv``-of-state variants (``src/mpi/cc_mpi.c:388-571``):
+  the rank vector is ``ray.put`` once per superstep, every edge block
+  computes block-local partial sums against it (vectorized searchsorted
+  gather + per-dst combine), and the small partials are reduced on the
+  driver in a deterministic order (lexsort + reduceat — byte-stable
+  regardless of block arrival).  One distributed pass per superstep.
+  Only *efficient* while the rank vector fits in memory
+  (``BROADCAST_MAX_VERTICES``); beyond that ``auto`` switches to shuffle.
+
+Checkpointing: every ``checkpoint_every``-th superstep persists state with
+lineage + metrics (including the carried dangling mass) for resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+from linkgraph import graph as G
+from linkgraph.checkpoint import Checkpointer
+from linkgraph.partition import bucket_join
+
+BROADCAST_MAX_VERTICES = 50_000_000  # ~1.2 GB of (id, rank, outdeg) per replica
+
+
+@dataclass
+class PageRankResult:
+    ranks: rd.Dataset  # (vertex, rank)
+    num_vertices: int
+    num_iterations: int
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _prepare_edges(edges: rd.Dataset, directed: bool, num_partitions: int) -> rd.Dataset:
+    """Simple (deduped, loop-free) directed edge set used by the iteration."""
+    if directed:
+        return G.dedup_edges(G.drop_self_loops(edges), num_partitions)
+    return G.symmetrize(G.canonicalize(edges, global_dedup=True))
+
+
+def _pull_columns(ds: rd.Dataset, cols: list[str]) -> list[np.ndarray]:
+    parts: list[list[np.ndarray]] = [[] for _ in cols]
+    for b in ds.select_columns(cols).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        for i, c in enumerate(cols):
+            parts[i].append(b[c].to_numpy(zero_copy_only=False))
+    return [
+        np.concatenate(p) if p else np.empty(0, dtype=np.int64) for p in parts
+    ]
+
+
+def _vector_state_ds(ids: np.ndarray, ranks: np.ndarray, outdeg: np.ndarray) -> rd.Dataset:
+    """Driver vectors → Dataset in ~4M-row blocks (no giant single block)."""
+    chunk = 1 << 22
+    tables = [
+        pa.table(
+            {
+                "vertex": ids[i : i + chunk],
+                "rank": ranks[i : i + chunk],
+                "outdeg": outdeg[i : i + chunk],
+            }
+        )
+        for i in range(0, max(len(ids), 1), chunk)
+    ]
+    return rd.from_arrow(tables if len(tables) > 1 else tables[0])
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    directed: bool = True,
+    vertices: rd.Dataset | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+    num_partitions: int | None = None,
+    checkpointer: Checkpointer | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    mode: str = "auto",
+) -> PageRankResult:
+    num_partitions = num_partitions or G.default_partitions()
+    ckpt = checkpointer or Checkpointer(None)
+
+    simple = _prepare_edges(edges, directed, num_partitions).materialize()
+    deg = G.out_degrees(simple, num_partitions)
+    # attach 1/outdeg to every edge once; static across supersteps
+    weighted = bucket_join(
+        simple,
+        deg.map_batches(
+            lambda t: pa.table({"src": t["vertex"], "outdeg": t["degree"]}),
+            batch_format="pyarrow",
+        ),
+        ["src"],
+        num_buckets=num_partitions,
+        left_payload={"dst": pa.int64()},
+        right_payload={"outdeg": pa.int64()},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "inv": pa.compute.divide(pa.scalar(1.0), t["outdeg"].cast(pa.float64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    metrics: list[dict[str, Any]] = []
+    state: rd.Dataset | None = None
+    start, num_v, dm = 0, 0, 0.0
+    if resume and checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            it, state, meta = latest
+            start = it + 1
+            num_v = int(meta["num_vertices"])
+            dm = float(meta["dangling_mass"])
+            metrics.append(meta)
+
+    if state is None:
+        verts = vertices if vertices is not None else G.vertices_of(simple, num_partitions)
+        # R0: every vertex with rank 1/V and its outdeg (0 when dangling)
+        with_deg = (
+            deg.map_batches(
+                lambda t: pa.table({"vertex": t["vertex"], "outdeg": t["degree"]}),
+                batch_format="pyarrow",
+            )
+            .union(
+                verts.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "vertex": t["vertex"],
+                            "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("vertex", num_partitions=num_partitions)
+            .aggregate(Max("outdeg", alias_name="outdeg"))
+            .materialize()
+        )
+        num_v = with_deg.count()
+        r0 = 1.0 / num_v
+
+        def init(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "rank": pa.array(np.full(len(t), r0)),
+                    "outdeg": t["outdeg"],
+                }
+            )
+
+        state = with_deg.map_batches(init, batch_format="pyarrow")
+        n_dangling = with_deg.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["outdeg"], 0)), batch_format="pyarrow"
+        ).count()
+        dm = n_dangling * r0
+        state = ckpt.save(
+            0, state, {"phase": "init", "num_vertices": num_v, "dangling_mass": dm}
+        )
+        start = 1
+
+    if mode == "auto":
+        mode = "broadcast" if num_v <= BROADCAST_MAX_VERTICES else "shuffle"
+
+    if mode == "broadcast":
+        return _pagerank_broadcast(
+            weighted, state, ckpt, metrics, start, num_v, dm,
+            damping, tol, max_iters, checkpointer, checkpoint_every,
+        )
+    if mode != "shuffle":
+        raise ValueError(f"unknown mode {mode!r}")
+    return _pagerank_shuffle(
+        weighted, state, ckpt, metrics, start, num_v, dm,
+        damping, tol, max_iters, num_partitions, checkpointer, checkpoint_every,
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle mode (scale path)
+# ---------------------------------------------------------------------------
+
+def _pagerank_shuffle(
+    weighted, state, ckpt, metrics, start, num_v, dm,
+    damping, tol, max_iters, num_partitions, checkpointer, checkpoint_every,
+) -> PageRankResult:
+    iters = 0
+    for it in range(start, start + max_iters):
+        t0 = time.perf_counter()
+        joined = bucket_join(
+            weighted,
+            state.map_batches(
+                lambda t: pa.table({"src": t["vertex"], "rank": t["rank"]}),
+                batch_format="pyarrow",
+            ),
+            ["src"],
+            num_buckets=num_partitions,
+            left_payload={"dst": pa.int64(), "inv": pa.float64()},
+            right_payload={"rank": pa.float64()},
+        )
+
+        def emit(t: pa.Table) -> pa.Table:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            c = t["rank"].to_numpy(zero_copy_only=False) * t["inv"].to_numpy(
+                zero_copy_only=False
+            )
+            return _partial_by_dst(dst, c)
+
+        contrib = joined.map_batches(emit, batch_format="pyarrow")
+        base = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "contrib": pa.array(np.zeros(len(t))),
+                    "rank_old": t["rank"],
+                    "outdeg": t["outdeg"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        reduced = (
+            contrib.union(base)
+            .groupby("vertex", num_partitions=num_partitions)
+            .aggregate(
+                Sum("contrib", alias_name="contrib"),
+                Sum("rank_old", alias_name="rank_old"),
+                Max("outdeg", alias_name="outdeg"),
+            )
+        )
+        teleport = (1.0 - damping) / num_v
+        dshare = damping * dm / num_v
+
+        def step(t: pa.Table, teleport=teleport, dshare=dshare) -> pa.Table:
+            c = t["contrib"].to_numpy(zero_copy_only=False)
+            old = t["rank_old"].to_numpy(zero_copy_only=False)
+            outdeg = t["outdeg"].to_numpy(zero_copy_only=False)
+            r_new = teleport + damping * c + dshare
+            return pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "rank": pa.array(r_new),
+                    "outdeg": t["outdeg"],
+                    "delta": pa.array(np.abs(r_new - old)),
+                    "dmass": pa.array(np.where(outdeg == 0, r_new, 0.0)),
+                }
+            )
+
+        new_state = reduced.map_batches(step, batch_format="pyarrow").materialize()
+        agg = new_state.aggregate(
+            Sum("delta", alias_name="delta"), Sum("dmass", alias_name="dmass")
+        )
+        delta = float(agg["delta"] or 0.0)
+        dm = float(agg["dmass"] or 0.0)
+        state = new_state.select_columns(["vertex", "rank", "outdeg"])
+        iters += 1
+        converged = tol > 0 and delta < tol
+        if checkpointer is not None and (converged or it % checkpoint_every == 0):
+            state = ckpt.save(
+                it, state,
+                {"phase": "superstep", "iteration": it, "num_vertices": num_v,
+                 "dangling_mass": dm, "l1_delta": delta},
+            )
+        metrics.append(
+            {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
+             "mode": "shuffle", "wall_s": time.perf_counter() - t0}
+        )
+        if converged:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(f"pagerank exceeded {max_iters} iterations")
+
+    ranks = state.select_columns(["vertex", "rank"]).materialize()
+    return PageRankResult(ranks, num_v, iters, metrics)
+
+
+def _partial_by_dst(dst: np.ndarray, c: np.ndarray) -> pa.Table:
+    """Block-local combiner: sum contributions per dst before the shuffle."""
+    uniq, inv = np.unique(dst, return_inverse=True)
+    sums = np.zeros(len(uniq))
+    np.add.at(sums, inv, c)
+    return pa.table(
+        {
+            "vertex": uniq,
+            "contrib": sums,
+            "rank_old": np.zeros(len(uniq)),
+            "outdeg": np.full(len(uniq), -1, dtype=np.int64),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast mode (Allgatherv analogue; rank vector on the driver)
+# ---------------------------------------------------------------------------
+
+def _pagerank_broadcast(
+    weighted, state, ckpt, metrics, start, num_v, dm,
+    damping, tol, max_iters, checkpointer, checkpoint_every,
+) -> PageRankResult:
+    ids, ranks, outdeg = _pull_columns(state, ["vertex", "rank", "outdeg"])
+    order = np.argsort(ids, kind="stable")
+    ids, ranks, outdeg = ids[order], np.asarray(ranks)[order], outdeg[order]
+    dangling_mask = outdeg == 0
+
+    iters = 0
+    for it in range(start, start + max_iters):
+        t0 = time.perf_counter()
+        ref = ray.put((ids, ranks))
+
+        def emit(t: pa.Table, ref=ref) -> pa.Table:
+            ids_, ranks_ = ray.get(ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            inv = t["inv"].to_numpy(zero_copy_only=False)
+            c = ranks_[np.searchsorted(ids_, src)] * inv
+            uniq, invix = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq))
+            np.add.at(sums, invix, c)
+            return pa.table({"vertex": uniq, "contrib": sums})
+
+        pv, pc = [], []
+        for b in weighted.map_batches(emit, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            pv.append(b["vertex"].to_numpy(zero_copy_only=False))
+            pc.append(b["contrib"].to_numpy(zero_copy_only=False))
+        contrib = np.zeros(num_v)
+        if pv:
+            v = np.concatenate(pv)
+            c = np.concatenate(pc)
+            # deterministic combine independent of block arrival order
+            o = np.lexsort((c, v))
+            v, c = v[o], c[o]
+            pos = np.searchsorted(ids, v)
+            np.add.at(contrib, pos, c)
+
+        r_new = (1.0 - damping) / num_v + damping * (contrib + dm / num_v)
+        delta = float(np.abs(r_new - ranks).sum())
+        ranks = r_new
+        dm = float(ranks[dangling_mask].sum())
+        iters += 1
+        converged = tol > 0 and delta < tol
+        if checkpointer is not None and (converged or it % checkpoint_every == 0):
+            ckpt.save(
+                it,
+                _vector_state_ds(ids, ranks, outdeg),
+                {"phase": "superstep", "iteration": it, "num_vertices": num_v,
+                 "dangling_mass": dm, "l1_delta": delta},
+            )
+        metrics.append(
+            {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
+             "mode": "broadcast", "wall_s": time.perf_counter() - t0}
+        )
+        if converged:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(f"pagerank exceeded {max_iters} iterations")
+
+    out = _vector_state_ds(ids, ranks, outdeg).select_columns(["vertex", "rank"])
+    return PageRankResult(out.materialize(), num_v, iters, metrics)

@@ -1,0 +1,140 @@
+"""Partitioning and skew handling (bucketed hash join, hub salting).
+
+The reference mitigates skew by sampling the giant component and skipping it
+(``src/cc_openmp.c:422-496,596-613``) and by dynamic chunk scheduling /
+work-stealing (``src/pthreads/afforest_simple.c:622-649``).  In the dataflow
+engine the same problem reappears as *heavy keys* in shuffle joins: a
+web-scale hub vertex can have more rows than a partition holds.
+
+``bucket_join`` is an explicit partitioned hash join (the portable pattern):
+both sides get a ``_bucket = mix64(key) % B`` column, one
+``groupby(_bucket).map_groups`` co-locates matching buckets, and the
+per-bucket merge is a vectorized pandas join (C speed; B buckets total, so
+per-group Python overhead is negligible).  We use it instead of the
+experimental ``Dataset.join`` because the native join's aggregator builds
+schema-less empty tables for hash partitions that receive no rows, which
+pyarrow's join rejects — guaranteed on small or skewed inputs.
+
+**Salting** (``salt > 1``): the right side must then be unique per key (a
+lookup table, e.g. a groupby-aggregate result).  Each right row is
+replicated once per salt value, left rows get a deterministic per-row salt,
+and the salt participates in both bucketing and the merge keys — so a heavy
+left key's rows split across ``salt`` buckets instead of melting one
+aggregator.
+
+Groupby *aggregations* (Min/Sum/Count) need none of this — Ray Data applies
+partial aggregation (combiners) before its shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from linkgraph.graph import _mix64, default_partitions
+
+_SIDE = "_lgside"
+_BUCKET = "_lgbucket"
+_SALT = "_lgsalt"
+
+
+def _key_hash(t: pa.Table, on: list[str], seed: int) -> np.ndarray:
+    acc = np.full(len(t), np.uint64(seed), dtype=np.uint64)
+    for name in on:
+        col = t[name].to_numpy(zero_copy_only=False)
+        acc = _mix64(acc.view(np.int64), col.astype(np.int64, copy=False))
+    return acc
+
+
+def bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    *,
+    num_buckets: int | None = None,
+    salt: int = 1,
+    left_payload: dict[str, pa.DataType] | None = None,
+    right_payload: dict[str, pa.DataType] | None = None,
+) -> rd.Dataset:
+    """Inner hash join of two Datasets on ``on`` (int64 key columns).
+
+    Non-key column names must be disjoint between the sides (the engine
+    controls all schemas).  ``left_payload`` / ``right_payload`` — optional
+    ``{column: arrow_type}`` for the non-key columns; passing them avoids a
+    ``ds.schema()`` call that could force early execution of a lazy input.
+    """
+    if salt > 1:
+        s_arrow = pa.int64()
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            s = _key_hash(t, list(t.column_names), 7) % np.uint64(salt)
+            return t.append_column(_SALT, pa.array(s.astype(np.int64)))
+
+        def replicate(t: pa.Table) -> pa.Table:
+            n = len(t)
+            rep = t.take(pa.array(np.repeat(np.arange(n), salt)))
+            s = np.tile(np.arange(salt, dtype=np.int64), n)
+            return rep.append_column(_SALT, pa.array(s))
+
+        left = left.map_batches(add_salt, batch_format="pyarrow")
+        right = right.map_batches(replicate, batch_format="pyarrow")
+        on = on + [_SALT]
+        if left_payload is not None:
+            left_payload = {**left_payload}
+        if right_payload is not None:
+            right_payload = {**right_payload}
+
+    if left_payload is None:
+        ls = left.schema()
+        left_payload = {
+            n: ls.field(n).type for n in ls.names if n not in on
+        }
+    if right_payload is None:
+        rs = right.schema()
+        right_payload = {
+            n: rs.field(n).type for n in rs.names if n not in on
+        }
+    overlap = set(left_payload) & set(right_payload)
+    if overlap:
+        raise ValueError(f"bucket_join: overlapping payload columns {overlap}")
+
+    nb = (num_buckets or default_partitions()) * max(salt, 1)
+    lpay, rpay = list(left_payload), list(right_payload)
+    out_cols = on + lpay + rpay
+    out_types: dict[str, pa.DataType] = {
+        **{n: pa.int64() for n in on},
+        **left_payload,
+        **right_payload,
+    }
+
+    def widen(side: int, missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for c in out_cols:
+                cols[c] = pa.nulls(n, out_types[c]) if c in missing else t[c]
+            cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            bucket = _key_hash(t, on, 0xA0761D64) % np.uint64(nb)
+            cols[_BUCKET] = pa.array(bucket.astype(np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    lw = left.map_batches(widen(0, rpay), batch_format="pyarrow")
+    rw = right.map_batches(widen(1, lpay), batch_format="pyarrow")
+    both = lw.union(rw)
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        ldf = t.filter(pa.array(side == 0)).select(on + lpay).to_pandas()
+        rdf = t.filter(pa.array(side == 1)).select(on + rpay).to_pandas()
+        out = ldf.merge(rdf, on=on, how="inner")
+        keep = [c for c in out_cols if c != _SALT]
+        arrays = [
+            pa.Array.from_pandas(out[c], type=out_types[c]) for c in keep
+        ]
+        return pa.table(dict(zip(keep, arrays)))
+
+    return both.groupby(_BUCKET).map_groups(join_group, batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""CC correctness vs the union-find oracle (SURVEY.md §5 test plan)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from linkgraph import graph as G
+from linkgraph import oracle, synth
+from linkgraph.cc import (
+    CCResult,
+    _contract_batch,
+    _local_components,
+    component_stats,
+    connected_components,
+)
+
+
+def labels_dict(ds):
+    return {r["vertex"]: r["label"] for r in ds.take_all()}
+
+
+def check_against_oracle(edges_tbl, num_vertices=None):
+    src = edges_tbl["src"].to_numpy()
+    dst = edges_tbl["dst"].to_numpy()
+    expected = oracle.cc_labels(src, dst, num_vertices)
+    verts = None
+    if num_vertices is not None:
+        import ray.data as rd
+
+        verts = rd.from_arrow(
+            pa.table({"vertex": np.arange(num_vertices, dtype=np.int64)})
+        )
+    res = connected_components(
+        G.from_arrow_edges(edges_tbl), vertices=verts, num_partitions=4
+    )
+    got = labels_dict(res.labels)
+    exp = {
+        int(v): int(l)
+        for v, l in enumerate(expected)
+        if verts is not None or v in got
+    }
+    assert got == exp
+    assert res.num_components == len(set(exp.values()))
+    return res
+
+
+def test_local_components_chain():
+    u = np.array([0, 1, 3], dtype=np.int64)
+    v = np.array([1, 2, 4], dtype=np.int64)
+    p = _local_components(u, v, 5)
+    assert p.tolist() == [0, 0, 0, 3, 3]
+
+
+def test_contract_batch_star_output():
+    t = pa.table(
+        {
+            "src": np.array([0, 1, 3], dtype=np.int64),
+            "dst": np.array([1, 2, 4], dtype=np.int64),
+        }
+    )
+    out = _contract_batch(t)
+    rows = sorted(zip(out["src"].to_numpy(), out["dst"].to_numpy()))
+    assert rows == [(0, 1), (0, 2), (3, 4)]
+
+
+def test_golden_micro():
+    edges, expected = synth.golden_micro()
+    res = check_against_oracle(edges, num_vertices=6)
+    assert res.num_components == 2
+    sizes, summary = component_stats(res.labels)
+    size_map = {r["label"]: r["size"] for r in sizes.take_all()}
+    assert size_map == {0: 3, 3: 3}
+    assert summary["num_components"] == 2
+    assert summary["min_size"] == 3 and summary["max_size"] == 3
+
+
+def test_planted_small():
+    edges, expected = synth.make_planted_graph(60, 3, 4, seed=7)
+    res = check_against_oracle(edges, num_vertices=60)
+    got = labels_dict(res.labels)
+    assert got == {int(v): int(l) for v, l in enumerate(expected)}
+
+
+def test_planted_medium():
+    edges, expected = synth.make_planted_graph(10_000, 10, 8, seed=11)
+    res = check_against_oracle(edges, num_vertices=10_000)
+    got = labels_dict(res.labels)
+    assert got == {int(v): int(l) for v, l in enumerate(expected)}
+
+
+def test_hub_graph_skew():
+    edges, expected = synth.make_hub_graph(2_000, 5, chain_len=6, seed=3)
+    n = 1 + 2_000 + 5 * 6
+    res = check_against_oracle(edges, num_vertices=n)
+    assert res.num_components == 6
+
+
+def test_isolated_vertices_labeled():
+    import ray.data as rd
+
+    edges = pa.table(
+        {"src": np.array([1, 2], dtype=np.int64), "dst": np.array([2, 3], dtype=np.int64)}
+    )
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(6, dtype=np.int64)}))
+    res = connected_components(G.from_arrow_edges(edges), vertices=verts, num_partitions=2)
+    got = labels_dict(res.labels)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    assert res.num_components == 4
+
+
+def test_parallel_edges_and_self_loops():
+    edges = pa.table(
+        {
+            "src": np.array([0, 0, 0, 1, 2, 2], dtype=np.int64),
+            "dst": np.array([1, 1, 0, 0, 2, 3], dtype=np.int64),
+        }
+    )
+    res = check_against_oracle(edges, num_vertices=4)
+    assert res.num_components == 2
+
+
+def test_determinism_across_partitionings():
+    edges, _ = synth.make_planted_graph(2_000, 4, 6, seed=5)
+    a = connected_components(
+        G.from_arrow_edges(edges).repartition(2), num_partitions=2
+    )
+    b = connected_components(
+        G.from_arrow_edges(edges).repartition(8), num_partitions=8
+    )
+    assert labels_dict(a.labels) == labels_dict(b.labels)
+    assert a.num_components == b.num_components

@@ -1,0 +1,100 @@
+"""Extraction stage: byte-identical text per url, href recovery, normalization."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from linkgraph import extract, graph as G, oracle, synth
+from linkgraph.cc import connected_components
+
+
+def test_normalize_url():
+    base = "https://c0.example.org/p/1"
+    assert extract.normalize_url("/p/2", base) == "https://c0.example.org/p/2"
+    assert (
+        extract.normalize_url("https://c1.example.org/p/9#frag", base)
+        == "https://c1.example.org/p/9"
+    )
+    assert extract.normalize_url("mailto:x@y.z", base) is None
+    assert extract.normalize_url("javascript:void(0)", base) is None
+    assert extract.normalize_url("#frag", base) is None
+    assert (
+        extract.normalize_url("HTTPS://C0.Example.ORG/Path?q=1", base)
+        == "https://c0.example.org/Path?q=1"
+    )
+
+
+def test_extract_text_strips_script_style():
+    html = (
+        b"<html><head><title>t one</title><style>p {color: red}</style></head>"
+        b"<body><script>var a = 1 < 2;</script><p>hello &amp; world</p></body></html>"
+    )
+    assert extract.extract_text(html) == "t one hello & world"
+
+
+def test_golden_text_byte_identical():
+    pages, _, _ = synth.make_pages(40, seed=9)
+    got = extract.pages_to_text(rd.from_arrow(pages), concurrency=2, batch_size=16)
+    got_map = {r["url"]: r["text"] for r in got.take_all()}
+    want_map = {u.as_py(): t.as_py() for u, t in zip(pages["url"], pages["text"])}
+    assert got_map == want_map
+
+
+def test_extraction_determinism_across_batching():
+    pages, _, _ = synth.make_pages(30, seed=4)
+    a = extract.pages_to_text(rd.from_arrow(pages), concurrency=1, batch_size=5)
+    b = extract.pages_to_text(rd.from_arrow(pages).repartition(7), concurrency=3, batch_size=2)
+    am = {r["url"]: r["text"] for r in a.take_all()}
+    bm = {r["url"]: r["text"] for r in b.take_all()}
+    assert am == bm
+
+
+def canonical_pairs(src, dst):
+    keep = src != dst
+    lo = np.minimum(src[keep], dst[keep])
+    hi = np.maximum(src[keep], dst[keep])
+    return set(zip(lo.tolist(), hi.tolist()))
+
+
+def test_href_extraction_recovers_planted_graph():
+    pages, planted_edges, labels = synth.make_pages(60, seed=2)
+    url_edges = extract.pages_to_url_edges(rd.from_arrow(pages), concurrency=2, batch_size=16)
+    ids = extract.url_edges_to_ids(url_edges)
+    got = ids.take_all()
+    got_src = np.array([r["src"] for r in got])
+    got_dst = np.array([r["dst"] for r in got])
+
+    # map planted vertex indices to hashed url ids
+    bounds = synth.component_bounds(60, 3)
+    comp_index = np.searchsorted(bounds, np.arange(60), side="right") - 1
+    hid = np.array(
+        [extract.url_to_id(synth.page_url(i, int(comp_index[i]))) for i in range(60)]
+    )
+    want_src = hid[planted_edges["src"].to_numpy()]
+    want_dst = hid[planted_edges["dst"].to_numpy()]
+    assert canonical_pairs(got_src, got_dst) == canonical_pairs(want_src, want_dst)
+
+
+def test_pages_to_cc_end_to_end():
+    """Flagship slice: pages → extract → edge table → CC, vs planted labels."""
+    pages, _, labels = synth.make_pages(50, seed=6, num_components=4)
+    url_edges = extract.pages_to_url_edges(rd.from_arrow(pages), concurrency=2, batch_size=16)
+    edges = extract.url_edges_to_ids(url_edges)
+    verts = extract.url_id_map(rd.from_arrow(pages)).select_columns(["vertex"])
+    res = connected_components(edges, vertices=verts, num_partitions=4)
+
+    bounds = synth.component_bounds(50, 4)
+    comp_index = np.searchsorted(bounds, np.arange(50), side="right") - 1
+    hid = np.array(
+        [extract.url_to_id(synth.page_url(i, int(comp_index[i]))) for i in range(50)]
+    )
+    # expected: min hashed id within each planted component
+    exp = {}
+    for i in range(50):
+        comp = labels[i]
+        members = np.nonzero(labels == comp)[0]
+        exp[int(hid[i])] = int(hid[members].min())
+    got = {r["vertex"]: r["label"] for r in res.labels.take_all()}
+    assert got == exp
+    assert res.num_components == 4

@@ -1,0 +1,77 @@
+"""PageRank vs dense NumPy power iteration, allclose(1e-6) (north rule)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from linkgraph import graph as G, oracle, synth
+from linkgraph.pagerank import pagerank
+
+
+def ranks_vec(ds, n, id_map=None):
+    out = np.zeros(n)
+    for r in ds.take_all():
+        v = id_map[r["vertex"]] if id_map else r["vertex"]
+        out[v] = r["rank"]
+    return out
+
+
+def test_golden_micro_pagerank_directed():
+    edges, _ = synth.golden_micro()
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(6, dtype=np.int64)}))
+    res = pagerank(G.from_arrow_edges(edges), vertices=verts, num_partitions=2, tol=1e-12)
+    exp = oracle.pagerank(edges["src"].to_numpy(), edges["dst"].to_numpy(), 6)
+    got = ranks_vec(res.ranks, 6)
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_planted_pagerank_directed():
+    edges, _ = synth.make_planted_graph(500, 4, 5, seed=17)
+    res = pagerank(G.from_arrow_edges(edges), num_partitions=4, tol=1e-12)
+    exp = oracle.pagerank(edges["src"].to_numpy(), edges["dst"].to_numpy(), 500)
+    got = ranks_vec(res.ranks, 500)
+    # vertices with no edges at all aren't in the engine result; compare touched
+    touched = np.unique(
+        np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    )
+    # oracle normalizes over 500 vertices; engine over touched count — rerun
+    # oracle on the compacted vertex set for an apples-to-apples check
+    remap = {int(v): i for i, v in enumerate(touched)}
+    src_c = np.array([remap[int(v)] for v in edges["src"].to_numpy()])
+    dst_c = np.array([remap[int(v)] for v in edges["dst"].to_numpy()])
+    exp_c = oracle.pagerank(src_c, dst_c, len(touched))
+    got_c = np.array(
+        [
+            dict((r["vertex"], r["rank"]) for r in res.ranks.take_all())[int(v)]
+            for v in touched
+        ]
+    )
+    assert np.allclose(got_c, exp_c, atol=1e-6)
+
+
+def test_pagerank_undirected_mode():
+    edges, _ = synth.golden_micro()
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(6, dtype=np.int64)}))
+    res = pagerank(
+        G.from_arrow_edges(edges), directed=False, vertices=verts, num_partitions=2,
+        tol=1e-12,
+    )
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    exp = oracle.pagerank(
+        np.concatenate([src, dst]), np.concatenate([dst, src]), 6
+    )
+    got = ranks_vec(res.ranks, 6)
+    assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_pagerank_deterministic_across_partitioning():
+    edges, _ = synth.make_planted_graph(300, 3, 4, seed=23)
+    a = pagerank(G.from_arrow_edges(edges).repartition(2), num_partitions=2, tol=1e-10)
+    b = pagerank(G.from_arrow_edges(edges).repartition(8), num_partitions=8, tol=1e-10)
+    assert a.num_iterations == b.num_iterations
+    ra = {r["vertex"]: r["rank"] for r in a.ranks.take_all()}
+    rb = {r["vertex"]: r["rank"] for r in b.ranks.take_all()}
+    assert set(ra) == set(rb)
+    assert all(abs(ra[k] - rb[k]) < 1e-12 for k in ra)
