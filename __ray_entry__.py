@@ -82,6 +82,93 @@ def _extraction_cc(sf_dir: str):
     return pages_pipeline(rd.from_arrow(pages), num_partitions=8).labels
 
 
+def _minhash_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_dedup(docs, num_partitions=8, threshold=0.6)
+
+
+def _simhash_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.simhash_dedup(docs, hamming_k=3, num_partitions=8)
+
+
+def _embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_neardup(emb, threshold=0.98, num_partitions=8)
+
+
+def _knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import similarity
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(
+        [list(r["embedding"]) for r in emb.take(4)], dtype=np.float64
+    )
+    return similarity.knn_ivf(emb, q, k=10, n_clusters=8, n_probe=3)
+
+
+def _quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import textstats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.quality_scores(docs)
+
+
+def _lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import textstats
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    profiles = textstats.train_lang_profiles(docs, sample_per_lang=100)
+    return textstats.lang_id(docs, profiles)
+
+
+def _token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import textstats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.token_stats(docs)
+
+
+def _fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import textstats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.fingerprints(docs)
+
+
+def _media_features(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import multimodal as mm
+
+    media = rd.from_arrow(mm.synth_media(500, seed=42))
+    return mm.media_features(media)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from linkgraph import relational as R
 
@@ -107,6 +194,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top100": _pagerank_top100,
         "triangle_count": _triangles,
         "extraction_cc": _extraction_cc,
+        # training-data operators (rows-only; property-tested in tests/)
+        "minhash_dedup": _minhash_dedup,
+        "simhash_dedup": _simhash_dedup,
+        "embedding_neardup": _embedding_neardup,
+        "knn_ivf": _knn_ivf,
+        "quality_scores": _quality_scores,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "doc_fingerprints": _fingerprints,
+        "media_features": _media_features,
     }
 
 

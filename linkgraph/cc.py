@@ -241,12 +241,18 @@ def connected_components(
 
     fp = G.fingerprint(pairs)
     rounds = 0
+    if fp[0] == 0:
+        start_round = max_rounds = 0  # empty edge set: labels = identity
     for r in range(start_round, start_round + max_rounds):
         t0 = time.perf_counter()
+        # repartition: map_groups-based joins fragment output into many tiny
+        # blocks; left unchecked, block count compounds per round and shuffle
+        # overhead explodes (measured 2s → 160s/round by round 2).  Also
+        # materialize LS — small_star consumes it twice (groupby + join).
         ls = large_star(pairs, num_partitions)
-        ls = G.dedup_block(ls)
+        ls = G.dedup_block(ls).repartition(num_partitions).materialize()
         ss = small_star(ls, num_partitions)
-        ss = G.dedup_block(ss)
+        ss = G.dedup_block(ss).repartition(num_partitions)
         pairs = ckpt.save(r, ss, {"phase": "star", "round": r})
         new_fp = G.fingerprint(pairs)
         rounds += 1
@@ -262,7 +268,8 @@ def connected_components(
             break
         fp = new_fp
     else:
-        raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
+        if max_rounds > 0:
+            raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
 
     # labels: star children get their root; roots/isolated get themselves
     as_labels = pairs.map_batches(
@@ -291,6 +298,36 @@ def count_components(labels: rd.Dataset, num_partitions: int | None = None) -> i
         .aggregate(Count(alias_name="_n"))
         .count()
     )
+
+
+def sample_frequent_label(
+    labels: rd.Dataset,
+    n_samples: int = 1024,
+    seed: int = 17,
+    num_partitions: int | None = None,
+) -> tuple[int, float]:
+    """Estimate the most frequent label (the giant component) from a random
+    sample — ref ``sample_frequent_element`` (``src/cc_openmp.c:422-496``),
+    which Afforest uses to find and skip the giant component.  Seeded, unlike
+    the reference's ``rand_r(time)`` (determinism requirement, SURVEY §4).
+
+    Returns (label, estimated_frequency)."""
+    total = labels.count()
+    if total == 0:
+        return -1, 0.0
+    frac = min(1.0, n_samples / total)
+    top = (
+        labels.random_sample(frac, seed=seed)
+        .groupby("label", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "label"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    if not top:
+        return -1, 0.0
+    sampled = max(1, round(frac * total))
+    return int(top[0]["label"]), float(top[0]["n"]) / sampled
 
 
 def component_stats(

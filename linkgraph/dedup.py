@@ -1,0 +1,521 @@
+"""Deduplication operators for large-scale text corpora.
+
+North-star additions (the reference has no text layer): the operations a
+training-data pipeline runs over a crawled corpus, each expressed
+Ray-Data-first and feeding its candidate graph into ``cc.connected_components``
+for clustering — the engine's own flagship kernel closes the dedup loop.
+
+- ``exact_dedup`` — content-hash groupby: hash per batch (vectorized),
+  ``groupby(hash)`` keep-min-id (SURVEY.md §2.7 hash-partition + first).
+- ``minhash_lsh_dedup`` — shingle → minhash signatures (stateful actor pool,
+  permutation table built once per actor) → banded LSH rows →
+  ``groupby(band, band_hash)`` → *star* candidate pairs (linear in group
+  size, not quadratic — enough to connect a duplicate cluster) → signature
+  verification (estimated Jaccard) → connected components.
+- ``simhash_dedup`` — 64-bit simhash per doc; block-permutation candidate
+  generation (two docs within Hamming distance k share one of k+1 blocks);
+  exact Hamming verification; connected components.
+- ``embedding_neardup`` — random-hyperplane LSH over an embedding column →
+  bucket candidates → exact cosine verification → connected components.
+
+All hashing/permutations are seeded; outputs are deterministic at any
+parallelism (doc ids are int64; cluster id = min doc id in the cluster, the
+same min-id canonical labeling the CC kernel guarantees).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from linkgraph import graph as G
+from linkgraph.cc import connected_components
+from linkgraph.partition import bucket_join
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(keep_id, n_dups) per distinct content — hash groupby, min id wins."""
+    import hashlib
+
+    def hash_block(t: pa.Table) -> pa.Table:
+        hashes = [
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            >> 1
+            for s in t[text_col].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hashes, pa.int64()), id_col: t[id_col]})
+
+    return (
+        ds.map_batches(hash_block, batch_format="pyarrow")
+        .groupby("h", num_partitions=num_partitions)
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+        .select_columns(["keep_id", "n_dups"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    """Vectorized k-char shingle hashes of one document (uint64)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(win), dtype=np.uint64)
+        for i in range(k):
+            h = h * np.uint64(1099511628211) + win[:, i]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return np.unique(h)
+
+
+class MinHasher:
+    """Actor-pool stage: (id, text) batch → (id, sig list<uint64>).
+
+    The permutation table (a_i, b_i) is generated once per actor from a fixed
+    seed — the canonical 'load state in __init__' pattern (SURVEY.md §2.3).
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 97):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE), num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _char_shingles(text, self.k)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) universal hashing; min over shingles
+            m = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return m.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        sigs = [self.signature(s) for s in t["text"].to_pylist()]
+        arr = pa.array(
+            [s.astype(np.int64) for s in sigs], pa.list_(pa.int64(), self.num_perm)
+        )
+        return pa.table({"doc_id": ids, "sig": arr})
+
+
+def _band_rows(t: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
+    sig = np.stack(
+        [np.asarray(x) for x in t["sig"].to_pylist()]
+    ) if len(t) else np.empty((0, bands * rows_per_band), dtype=np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out_band, out_hash, out_id = [], [], []
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band].astype(
+                np.uint64
+            )
+            h = np.full(len(chunk), np.uint64(b) + np.uint64(0x9E3779B9), np.uint64)
+            for j in range(rows_per_band):
+                h = h * np.uint64(0x100000001B3) + chunk[:, j]
+            out_band.append(np.full(len(chunk), b, dtype=np.int64))
+            out_hash.append((h >> np.uint64(1)).astype(np.int64))
+            out_id.append(ids)
+    return pa.table(
+        {
+            "band": np.concatenate(out_band) if out_band else np.empty(0, np.int64),
+            "bh": np.concatenate(out_hash) if out_hash else np.empty(0, np.int64),
+            "doc_id": np.concatenate(out_id) if out_id else np.empty(0, np.int64),
+        }
+    )
+
+
+def _star_pairs(group) -> "pa.Table":
+    """Connect a candidate group as a star around its min id — linear output."""
+    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    if len(ids) < 2:
+        return pa.table(
+            {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        )
+    return pa.table({"src": np.full(len(ids) - 1, ids[0]), "dst": ids[1:]})
+
+
+def minhash_signatures(
+    ds: rd.Dataset,
+    *,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    concurrency: int | tuple[int, int] = 2,
+) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    concurrency: int | tuple[int, int] = 2,
+) -> rd.Dataset:
+    """Near-duplicate clusters: (doc_id, cluster_id), one row per doc that
+    belongs to a near-dup cluster (cluster_id = min doc_id in cluster)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
+    ).materialize()
+
+    band_rows = sigs.map_batches(
+        lambda t: _band_rows(t, bands, rows_per_band), batch_format="pyarrow"
+    )
+    cand = (
+        band_rows.groupby(["band", "bh"], num_partitions=num_partitions)
+        .map_groups(_star_pairs, batch_format="pyarrow")
+    )
+    cand = G.dedup_block(cand)
+
+    # verify candidates by estimated Jaccard from signatures
+    sig_payload = {"sig": pa.list_(pa.int64(), num_perm)}
+    with_a = bucket_join(
+        cand.map_batches(
+            lambda t: pa.table({"doc_id": t["src"], "other": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        sigs,
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"other": pa.int64()},
+        right_payload=sig_payload,
+    ).map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "doc_id": t["other"], "sig_a": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        with_a,
+        sigs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "sig_b": t["sig"]}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"a": pa.int64(), "sig_a": pa.list_(pa.int64(), num_perm)},
+        right_payload={"sig_b": pa.list_(pa.int64(), num_perm)},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        sa = np.stack([np.asarray(x) for x in t["sig_a"].to_pylist()])
+        sb = np.stack([np.asarray(x) for x in t["sig_b"].to_pylist()])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "src": t["a"].to_numpy(zero_copy_only=False)[keep],
+                "dst": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    verified = both.map_batches(verify, batch_format="pyarrow")
+    res = connected_components(verified, num_partitions=num_partitions)
+    # only docs in clusters of size >= 2 (label != vertex OR label has children)
+    return _clusters_from_labels(res.labels, num_partitions)
+
+
+def _clusters_from_labels(labels: rd.Dataset, num_partitions: int | None) -> rd.Dataset:
+    sizes = labels.groupby("label", num_partitions=num_partitions).aggregate(
+        Count(alias_name="sz")
+    )
+    joined = bucket_join(
+        labels,
+        sizes,
+        ["label"],
+        num_buckets=num_partitions,
+        left_payload={"vertex": pa.int64()},
+        right_payload={"sz": pa.int64()},
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["vertex"].to_numpy(zero_copy_only=False)[
+                    t["sz"].to_numpy(zero_copy_only=False) >= 2
+                ],
+                "cluster_id": t["label"].to_numpy(zero_copy_only=False)[
+                    t["sz"].to_numpy(zero_copy_only=False) >= 2
+                ],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor-pool stage: (doc_id, text) → (doc_id, simhash int64)."""
+
+    def __init__(self, seed: int = 131):
+        import re
+
+        self.token = re.compile(r"\w+", re.U)
+        self.seed = np.uint64(seed)
+
+    def simhash(self, text: str) -> int:
+        toks = self.token.findall(text.lower())
+        if not toks:
+            return 0
+        hs = np.array(
+            [hash_token(t, self.seed) for t in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out >> np.uint64(1))  # keep int64-positive
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vals = [self.simhash(s) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sh": pa.array(vals, pa.int64())})
+
+
+def hash_token(tok: str, seed: np.uint64) -> int:
+    with np.errstate(over="ignore"):
+        h = np.uint64(seed)
+        for ch in tok.encode("utf-8"):
+            h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
+    return int(h)
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    *,
+    hamming_k: int = 3,
+    num_partitions: int | None = None,
+    concurrency: int | tuple[int, int] = 2,
+) -> rd.Dataset:
+    """Near-dup clusters by simhash Hamming distance ≤ k.
+
+    Candidate generation: split the 63-bit hash into k+1 blocks; docs within
+    Hamming k share at least one exact block (pigeonhole).  Exact Hamming
+    verification on candidates, then CC clustering.
+    """
+    n_blocks = hamming_k + 1
+    sh = ds.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=concurrency
+    ).materialize()
+    width = 63 // n_blocks + 1
+
+    def blocks(t: pa.Table) -> pa.Table:
+        h = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        outb, outv, outi = [], [], []
+        for b in range(n_blocks):
+            lo = b * width
+            hi = min(63, lo + width)
+            if lo >= 63:
+                break
+            mask = (np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)
+            outb.append(np.full(len(h), b, dtype=np.int64))
+            outv.append(((h >> np.uint64(lo)) & mask).astype(np.int64))
+            outi.append(ids)
+        return pa.table(
+            {
+                "band": np.concatenate(outb),
+                "bh": np.concatenate(outv),
+                "doc_id": np.concatenate(outi),
+            }
+        )
+
+    cand = (
+        sh.map_batches(blocks, batch_format="pyarrow")
+        .groupby(["band", "bh"], num_partitions=num_partitions)
+        .map_groups(_star_pairs, batch_format="pyarrow")
+    )
+    cand = G.dedup_block(cand)
+
+    with_a = bucket_join(
+        cand.map_batches(
+            lambda t: pa.table({"doc_id": t["src"], "other": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        sh,
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"other": pa.int64()},
+        right_payload={"sh": pa.int64()},
+    ).map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "doc_id": t["other"], "sh_a": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        with_a,
+        sh.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "sh_b": t["sh"]}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"a": pa.int64(), "sh_a": pa.int64()},
+        right_payload={"sh_b": pa.int64()},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["sh_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["sh_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = a ^ b
+        dist = np.zeros(len(x), dtype=np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            dist[nz] += 1
+            x = x & (x - np.uint64(1))
+        keep = dist <= hamming_k
+        return pa.table(
+            {
+                "src": t["a"].to_numpy(zero_copy_only=False)[keep],
+                "dst": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    verified = both.map_batches(verify, batch_format="pyarrow")
+    res = connected_components(verified, num_partitions=num_partitions)
+    return _clusters_from_labels(res.labels, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 211,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Cosine near-duplicate clusters over an embedding column.
+
+    Random-hyperplane LSH: ``n_tables`` independent sign-bit sketches of
+    ``n_planes`` bits each; same-sketch docs become star candidates; exact
+    cosine verifies; CC clusters.  Hyperplanes are seeded and generated on
+    the driver, broadcast via closure capture (small: n_tables·n_planes·d).
+    """
+    import ray
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    ref = ray.put(planes)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        pl = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        outb, outv, outi = [], [], []
+        for ti in range(n_tables):
+            bits = (mat @ pl[ti].T) > 0
+            vals = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            outb.append(np.full(len(ids), ti, dtype=np.int64))
+            outv.append(vals.astype(np.int64))
+            outi.append(ids)
+        return pa.table(
+            {
+                "band": np.concatenate(outb),
+                "bh": np.concatenate(outv),
+                "doc_id": np.concatenate(outi),
+            }
+        )
+
+    cand = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(["band", "bh"], num_partitions=num_partitions)
+        .map_groups(_star_pairs, batch_format="pyarrow")
+    )
+    cand = G.dedup_block(cand)
+
+    vecs = ds.map_batches(
+        lambda t: pa.table({"doc_id": t[id_col], "vec": t[vec_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+    sch = vecs.schema()
+    vec_type = dict(zip(sch.names, sch.types))["vec"]
+    with_a = bucket_join(
+        cand.map_batches(
+            lambda t: pa.table({"doc_id": t["src"], "other": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        vecs,
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"other": pa.int64()},
+        right_payload={"vec": vec_type},
+    ).map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "doc_id": t["other"], "vec_a": t["vec"]}),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        with_a,
+        vecs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "vec_b": t["vec"]}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"a": pa.int64(), "vec_a": vec_type},
+        right_payload={"vec_b": vec_type},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
+        va = np.stack([np.asarray(v, dtype=np.float64) for v in t["vec_a"].to_pylist()])
+        vb = np.stack([np.asarray(v, dtype=np.float64) for v in t["vec_b"].to_pylist()])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = (va * vb).sum(axis=1) / (na * nb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "src": t["a"].to_numpy(zero_copy_only=False)[keep],
+                "dst": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    verified = both.map_batches(verify, batch_format="pyarrow")
+    res = connected_components(verified, num_partitions=num_partitions)
+    return _clusters_from_labels(res.labels, num_partitions)

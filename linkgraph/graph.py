@@ -138,6 +138,30 @@ def vertices_of(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Data
     )
 
 
+def graph_stats(
+    canonical_edges: rd.Dataset, num_partitions: int | None = None
+) -> dict[str, float]:
+    """V / E / min / max / avg degree (ref ``graph_print_stats``,
+    ``src/graph.c:222-253``) — one degree groupby + one scalar aggregate."""
+    from ray.data.aggregate import Max, Mean, Min, Sum
+
+    deg = undirected_degrees(canonical_edges, num_partitions).materialize()
+    row = deg.aggregate(
+        Min("degree", alias_name="min_degree"),
+        Max("degree", alias_name="max_degree"),
+        Mean("degree", alias_name="avg_degree"),
+        Sum("degree", alias_name="_twice_edges"),
+        Count(alias_name="num_vertices"),
+    )
+    return {
+        "num_vertices": int(row["num_vertices"]),
+        "num_edges": int(row["_twice_edges"] // 2),
+        "min_degree": int(row["min_degree"]),
+        "max_degree": int(row["max_degree"]),
+        "avg_degree": float(row["avg_degree"]),
+    }
+
+
 # -- multiset fingerprint (convergence detection) ---------------------------
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)

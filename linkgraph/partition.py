@@ -87,14 +87,14 @@ def bucket_join(
             right_payload = {**right_payload}
 
     if left_payload is None:
-        ls = left.schema()
+        ls = left.schema()  # ray.data.Schema: .names + .types (arrow types)
         left_payload = {
-            n: ls.field(n).type for n in ls.names if n not in on
+            n: t for n, t in zip(ls.names, ls.types) if n not in on
         }
     if right_payload is None:
         rs = right.schema()
         right_payload = {
-            n: rs.field(n).type for n in rs.names if n not in on
+            n: t for n, t in zip(rs.names, rs.types) if n not in on
         }
     overlap = set(left_payload) & set(right_payload)
     if overlap:

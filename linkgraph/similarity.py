@@ -1,0 +1,260 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+North-star additions (training-data pipeline operators):
+
+- ``knn_bruteforce`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a vectorized matmul against it
+  and emits its block-local top-k; the global top-k merge handles only
+  ``num_blocks × k`` rows.  The scale baseline.
+- ``knn_ivf`` — IVF-style ANN: seeded k-means (Lloyd iterations as
+  ``map_batches`` partial-sum aggregates — the classic mergeable-sketch
+  pattern), assign every vector to its nearest centroid, then probe only the
+  ``n_probe`` closest clusters per query.  Trades recall for touching
+  ~``n_probe/n_clusters`` of the data; recall vs brute force is measured in
+  the tests.
+
+Everything is deterministic: fixed seeds, stable tie-breaks (score desc,
+id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    vals = col.to_pylist()
+    if not vals:
+        return np.empty((0, 0))
+    return np.asarray(vals, dtype=np.float64)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_bruteforce(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact cosine top-k per query row.
+
+    Returns (query_id, vec_id, cos_sim, rank) — rank 0 = best.  ``queries``
+    is an (m, d) float array; broadcast once, matmul per batch, block-local
+    top-k partials, tiny global merge.
+    """
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qn)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "vec_id": np.empty(0, np.int64),
+                    "cos_sim": np.empty(0, np.float64),
+                }
+            )
+        m = _normalize_rows(_to_matrix(t[vec_col]))
+        sims = m @ q.T  # (n, m_q)
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            # stable top-k: score desc, id asc
+            idx = np.lexsort((ids, -s))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        sim = group["cos_sim"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": qid[idx],
+                "vec_id": vid[idx],
+                "cos_sim": sim[idx],
+                "rank": np.arange(len(idx), dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means bucketed) ANN
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    n_clusters: int,
+    *,
+    vec_col: str = "embedding",
+    n_iters: int = 5,
+    seed: int = 53,
+    sample_frac: float = 1.0,
+) -> np.ndarray:
+    """Seeded distributed Lloyd iterations; centroids returned to the driver.
+
+    Per iteration one ``map_batches`` pass emits per-block partial sums
+    (sum vector + count per centroid) — mergeable partials, combined on the
+    driver in deterministic centroid order.
+    """
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    init = ds.random_sample(min(1.0, sample_frac), seed=seed).limit(
+        max(n_clusters * 20, n_clusters)
+    )
+    init_m = np.asarray([list(r[vec_col]) for r in init.take_all()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(init_m), size=n_clusters, replace=False)
+    centroids = init_m[np.sort(pick)]
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _to_matrix(t[vec_col])
+            if len(m) == 0:
+                return pa.table(
+                    {
+                        "cid": np.empty(0, np.int64),
+                        "vsum": pa.array([], pa.list_(pa.float64(), c.shape[1])),
+                        "cnt": np.empty(0, np.int64),
+                    }
+                )
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            cids = np.unique(assign)
+            sums = np.zeros((len(cids), c.shape[1]))
+            cnts = np.zeros(len(cids), dtype=np.int64)
+            for i, cid in enumerate(cids):
+                mask = assign == cid
+                sums[i] = m[mask].sum(axis=0)
+                cnts[i] = mask.sum()
+            return pa.table(
+                {
+                    "cid": cids.astype(np.int64),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64(), c.shape[1])),
+                    "cnt": cnts,
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((n_clusters, dim))
+        cnts = np.zeros(n_clusters, dtype=np.int64)
+        for r in sorted(rows, key=lambda x: x["cid"]):
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            cnts[r["cid"]] += r["cnt"]
+        nonzero = cnts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = sums[nonzero] / cnts[nonzero, None]
+    return centroids
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 53,
+) -> rd.Dataset:
+    """IVF ANN: restrict the brute-force scan to the n_probe nearest
+    clusters of each query.  Same output schema as ``knn_bruteforce``."""
+    centroids = kmeans_fit(ds, n_clusters, vec_col=vec_col, seed=seed)
+    q = np.asarray(queries, dtype=np.float64)
+    d2 = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d2, axis=1)[:, :n_probe]  # (m, n_probe)
+    cref = ray.put(centroids)
+    qn = _normalize_rows(q)
+    qref = ray.put((qn, probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        qn_, probe_ = ray.get(qref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "vec_id": np.empty(0, np.int64),
+                    "cos_sim": np.empty(0, np.float64),
+                }
+            )
+        m = _to_matrix(t[vec_col])
+        dd = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = dd.argmin(axis=1)
+        mn = _normalize_rows(m)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qn_.shape[0]):
+            mask = np.isin(assign, probe_[qi])
+            if not mask.any():
+                continue
+            s = mn[mask] @ qn_[qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(sel_ids))
+            idx = np.lexsort((sel_ids, -s))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(sel_ids[idx])
+            out_s.append(s[idx])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "vec_id": np.empty(0, np.int64),
+                    "cos_sim": np.empty(0, np.float64),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        sim = group["cos_sim"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": qid[idx],
+                "vec_id": vid[idx],
+                "cos_sim": sim[idx],
+                "rank": np.arange(len(idx), dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -75,7 +75,10 @@ def triangle_count(
     """Exact global triangle count of the undirected simple graph."""
     num_partitions = num_partitions or G.default_partitions()
     canon = G.canonicalize(edges, global_dedup=True).materialize()
-    oriented = orient_by_degree(canon, num_partitions).materialize()
+    # coalesce join-fragmented blocks before the double-consumed materialize
+    oriented = (
+        orient_by_degree(canon, num_partitions).repartition(num_partitions).materialize()
+    )
 
     wedges = bucket_join(
         oriented.map_batches(
