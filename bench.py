@@ -20,6 +20,21 @@ import sys
 import time
 
 
+def _planted_parquet(n_vertices: int, n_components: int, epv: int, seed: int) -> str:
+    """Write (once) and return the cached planted-graph parquet path."""
+    import pyarrow.parquet as pq
+
+    from linkgraph import synth
+
+    d = "/tmp/linkgraph_bench"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"planted_v{n_vertices}_c{n_components}_e{epv}_s{seed}.parquet")
+    if not os.path.exists(path):
+        edges, _ = synth.make_planted_graph(n_vertices, n_components, epv, seed=seed)
+        pq.write_table(edges, path, row_group_size=1 << 20)
+    return path
+
+
 def run_bench() -> dict:
     import ray
 
@@ -51,14 +66,26 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     detail: dict[str, object] = {}
 
-    # warm the page cache (untimed read)
+    # graph-kernel input: a deterministic planted graph at ~4M edges
+    # (BASELINE.md: "the planted-graph generator at ~10^6-10^7 edges for the
+    # graph kernels"), cached as parquet so every parallelism level reads the
+    # identical bytes
+    graph_path = _planted_parquet(
+        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "1500000")),
+        n_components=16,
+        epv=4,
+        seed=42,
+    )
+
+    # warm the page cache (untimed reads)
     edges_from_lineitem(sf_dir).count()
+    n_edges = rd.read_parquet(graph_path).count()
 
     # --- CC (flagship) ---
     t0 = time.perf_counter()
-    edges = edges_from_lineitem(sf_dir)
-    n_edges = edges.count()
-    cc_res = connected_components(edges, num_partitions=num_partitions)
+    cc_res = connected_components(
+        rd.read_parquet(graph_path), num_partitions=num_partitions
+    )
     queries["cc"] = time.perf_counter() - t0
     detail["cc"] = {
         "edges": n_edges,
@@ -70,15 +97,16 @@ def run_bench() -> dict:
         / queries["cc"],
     }
 
-    # --- PageRank (fixed 10 supersteps; throughput per superstep) ---
-    PR_ITERS = 10
+    # --- PageRank (fixed 5 supersteps, shuffle mode = the scale path) ---
+    PR_ITERS = 5
     t0 = time.perf_counter()
     pr = pagerank(
-        edges_from_lineitem(sf_dir),
+        rd.read_parquet(graph_path),
         directed=False,
         num_partitions=num_partitions,
         tol=0.0,
         max_iters=PR_ITERS,
+        mode="shuffle",
     )
     queries["pagerank"] = time.perf_counter() - t0
     sym_edges = 2 * n_edges

@@ -17,5 +17,12 @@ never in driver memory.
 """
 
 from linkgraph import schemas  # noqa: F401
+from linkgraph.runtime import tune_context as _tune_context
+
+# Datasets capture the DataContext at creation time, so the hash-shuffle
+# strategy must be set before ANY Dataset is built — not just before the
+# kernels run.  Idempotent; kernel entry points re-invoke it to re-size the
+# aggregator pool once a Ray session exists.
+_tune_context()
 
 __version__ = "0.1.0"

@@ -46,7 +46,6 @@ from ray.data.aggregate import Count, Max, Mean, Min
 
 from linkgraph import graph as G
 from linkgraph.checkpoint import Checkpointer
-from linkgraph.partition import bucket_join
 
 try:  # fast C path if scipy is available in the image
     from scipy.sparse import coo_matrix
@@ -119,72 +118,86 @@ def contract(edges: rd.Dataset, batch_size: int | None = None) -> rd.Dataset:
 # large-star / small-star supersteps
 # ---------------------------------------------------------------------------
 
-def _emit_large(t: pa.Table) -> pa.Table:
-    """From joined (u, v, mn): emit (min(u, mn), v) for rows with v > u."""
-    u = t["u"].to_numpy(zero_copy_only=False)
-    v = t["v"].to_numpy(zero_copy_only=False)
-    mn = t["mn"].to_numpy(zero_copy_only=False)
-    keep = v > u
-    m = np.minimum(u[keep], mn[keep])
-    return pa.table({"src": m, "dst": v[keep]})
+_EMPTY_EDGES = pa.table(
+    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+
+
+def _segments(key_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start offsets + per-row segment index of equal-key runs (sorted key)."""
+    if len(key_sorted) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.empty(len(key_sorted), dtype=bool)
+    change[0] = True
+    np.not_equal(key_sorted[1:], key_sorted[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    seg_of_row = np.cumsum(change) - 1
+    return starts, seg_of_row
 
 
 def large_star(pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """Connect all strictly-larger neighbors of u to min(N(u) ∪ {u})."""
-    sym = pairs.union(
-        pairs.map_batches(
-            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-            batch_format="pyarrow",
-        )
-    ).rename_columns({"src": "u", "dst": "v"})
-    m = sym.groupby("u", num_partitions=num_partitions).aggregate(
-        Min("v", alias_name="mn")
-    )
-    joined = bucket_join(
-        sym,
-        m,
-        ["u"],
-        num_buckets=num_partitions,
-        left_payload={"v": pa.int64()},
-        right_payload={"mn": pa.int64()},
-    )
-    return joined.map_batches(_emit_large, batch_format="pyarrow")
+    """Connect all strictly-larger neighbors of u to min(N(u) ∪ {u}).
 
+    Single shuffle: symmetrized rows are hash-repartitioned by u
+    (``repartition(keys=["u"])`` — all rows of a vertex land in one block)
+    and each whole-block batch computes its per-u segment minimum AND the
+    emits in one vectorized pass (sort + ``np.minimum.reduceat``) — no
+    separate aggregate + join, and no ``map_groups`` (whose hash-shuffle
+    finalize-sort dies on schema-less empty partitions in Ray 2.49).
+    """
 
-def _emit_small_members(t: pa.Table) -> pa.Table:
-    """From joined (src, dst, mn): emit (mn, src) where src != mn."""
-    s = t["src"].to_numpy(zero_copy_only=False)
-    mn = t["mn"].to_numpy(zero_copy_only=False)
-    keep = s != mn
-    return pa.table({"src": mn[keep], "dst": s[keep]})
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": np.concatenate([s, d]), "v": np.concatenate([d, s])})
 
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _EMPTY_EDGES
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        starts, seg = _segments(u)
+        m = np.minimum(u[starts], np.minimum.reduceat(v, starts))
+        m_row = m[seg]
+        keep = v > u
+        return pa.table({"src": m_row[keep], "dst": v[keep]})
 
-def _emit_small_owner(t: pa.Table) -> pa.Table:
-    """From (dst, mn): each group owner dst points at its min neighbor."""
-    return pa.table({"src": t["mn"], "dst": t["dst"]})
+    symmed = pairs.map_batches(sym, batch_format="pyarrow")
+    parted = symmed.repartition(num_partitions, keys=["u"])
+    return parted.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
 
 def small_star(pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """Connect all smaller neighbors of u (and u) to min(N(u)).
+    """Connect all smaller neighbors of u (and u itself) to min(N(u)).
 
-    Input rows satisfy src < dst (guaranteed by contraction / large_star),
-    so grouping by dst sees exactly the smaller neighbors.
+    Input rows satisfy src < dst (guaranteed by contraction / large_star), so
+    partitioning by dst sees exactly the smaller neighbors.  Same
+    single-shuffle whole-block segment pattern as ``large_star``.
     """
-    m = pairs.groupby("dst", num_partitions=num_partitions).aggregate(
-        Min("src", alias_name="mn")
-    )
-    m = m.materialize()  # consumed twice (join + owner emit); keep one shuffle
-    joined = bucket_join(
-        pairs,
-        m,
-        ["dst"],
-        num_buckets=num_partitions,
-        left_payload={"src": pa.int64()},
-        right_payload={"mn": pa.int64()},
-    )
-    members = joined.map_batches(_emit_small_members, batch_format="pyarrow")
-    owners = m.map_batches(_emit_small_owner, batch_format="pyarrow")
-    return members.union(owners)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _EMPTY_EDGES
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        s, d = s[order], d[order]
+        starts, seg = _segments(d)
+        mn = np.minimum.reduceat(s, starts)
+        mn_row = mn[seg]
+        keep = s != mn_row
+        # members (mn, s) for non-min smaller neighbors + one owner (mn, u)
+        return pa.table(
+            {
+                "src": np.concatenate([mn_row[keep], mn]),
+                "dst": np.concatenate([s[keep], d[starts]]),
+            }
+        )
+
+    parted = pairs.repartition(num_partitions, keys=["dst"])
+    return parted.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +231,9 @@ def connected_components(
     pass it when isolated vertices (no incident edges) must be labeled.
     Defaults to the vertices touched by ``edges``.
     """
+    from linkgraph.runtime import tune_context
+
+    tune_context()
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
     verts = vertices if vertices is not None else G.vertices_of(edges, num_partitions)
@@ -245,14 +261,11 @@ def connected_components(
         start_round = max_rounds = 0  # empty edge set: labels = identity
     for r in range(start_round, start_round + max_rounds):
         t0 = time.perf_counter()
-        # repartition: map_groups-based joins fragment output into many tiny
-        # blocks; left unchecked, block count compounds per round and shuffle
-        # overhead explodes (measured 2s → 160s/round by round 2).  Also
-        # materialize LS — small_star consumes it twice (groupby + join).
-        ls = large_star(pairs, num_partitions)
-        ls = G.dedup_block(ls).repartition(num_partitions).materialize()
-        ss = small_star(ls, num_partitions)
-        ss = G.dedup_block(ss).repartition(num_partitions)
+        # repartition: map_groups output fragments into many tiny blocks;
+        # left unchecked, block count compounds per round and shuffle
+        # overhead explodes (measured 2s → 160s/round by round 2)
+        ls = G.dedup_block(large_star(pairs, num_partitions))
+        ss = G.dedup_block(small_star(ls, num_partitions)).repartition(num_partitions)
         pairs = ckpt.save(r, ss, {"phase": "star", "round": r})
         new_fp = G.fingerprint(pairs)
         rounds += 1

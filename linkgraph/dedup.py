@@ -154,6 +154,57 @@ def _star_pairs(group) -> "pa.Table":
     return pa.table({"src": np.full(len(ids) - 1, ids[0]), "dst": ids[1:]})
 
 
+_EMPTY_PAIRS = pa.table(
+    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+
+
+def _star_pairs_block(t: "pa.Table") -> "pa.Table":
+    """Whole-block ``_star_pairs``: a block may hold many (band, bh) buckets.
+
+    Vectorized: lexsort by (band, bh, doc_id), segment on bucket change,
+    emit (min_id, other_id) per segment — linear in block size.
+    """
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_PAIRS
+    band = t["band"].to_numpy(zero_copy_only=False)
+    bh = t["bh"].to_numpy(zero_copy_only=False)
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, bh, band))
+    band, bh, did = band[order], bh[order], did[order]
+    n = len(did)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    seg = np.cumsum(change) - 1
+    # drop duplicate doc ids within a segment (sorted, so dups are adjacent)
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = (did[1:] == did[:-1]) & (seg[1:] == seg[:-1])
+    did, seg = did[~dup], seg[~dup]
+    change2 = np.empty(len(did), dtype=bool)
+    change2[0] = True
+    change2[1:] = seg[1:] != seg[:-1]
+    starts = np.flatnonzero(change2)
+    seg2 = np.cumsum(change2) - 1
+    mn_row = did[starts][seg2]
+    keep = did != mn_row
+    return pa.table({"src": mn_row[keep], "dst": did[keep]})
+
+
+def _star_candidates(band_rows, num_partitions):
+    """(band, bh, doc_id) rows → star edges per LSH bucket.
+
+    Hash-repartition + whole-block pass instead of ``groupby().map_groups``
+    (whose hash-shuffle finalize-sort dies on schema-less empty partitions
+    in Ray 2.49).
+    """
+    nb = num_partitions or 8
+    parted = band_rows.repartition(nb, keys=["band", "bh"])
+    return parted.map_batches(
+        _star_pairs_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def minhash_signatures(
     ds: rd.Dataset,
     *,
@@ -189,10 +240,7 @@ def minhash_lsh_dedup(
     band_rows = sigs.map_batches(
         lambda t: _band_rows(t, bands, rows_per_band), batch_format="pyarrow"
     )
-    cand = (
-        band_rows.groupby(["band", "bh"], num_partitions=num_partitions)
-        .map_groups(_star_pairs, batch_format="pyarrow")
-    )
+    cand = _star_candidates(band_rows, num_partitions)
     cand = G.dedup_block(cand)
 
     # verify candidates by estimated Jaccard from signatures
@@ -353,10 +401,8 @@ def simhash_dedup(
             }
         )
 
-    cand = (
-        sh.map_batches(blocks, batch_format="pyarrow")
-        .groupby(["band", "bh"], num_partitions=num_partitions)
-        .map_groups(_star_pairs, batch_format="pyarrow")
+    cand = _star_candidates(
+        sh.map_batches(blocks, batch_format="pyarrow"), num_partitions
     )
     cand = G.dedup_block(cand)
 
@@ -459,10 +505,8 @@ def embedding_neardup(
             }
         )
 
-    cand = (
-        ds.map_batches(sketch, batch_format="pyarrow")
-        .groupby(["band", "bh"], num_partitions=num_partitions)
-        .map_groups(_star_pairs, batch_format="pyarrow")
+    cand = _star_candidates(
+        ds.map_batches(sketch, batch_format="pyarrow"), num_partitions
     )
     cand = G.dedup_block(cand)
 

@@ -74,6 +74,7 @@ def dedup_block(edges: rd.Dataset) -> rd.Dataset:
 
 def dedup_edges(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Exact global dedup: block combiner + groupby(src,dst) shuffle."""
+    num_partitions = num_partitions or default_partitions()
     g = dedup_block(edges).groupby(["src", "dst"], num_partitions=num_partitions)
     return g.aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
 
@@ -108,6 +109,7 @@ def out_degrees(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Data
 
     Ref degree stats: ``src/graph.c:234-252``.
     """
+    num_partitions = num_partitions or default_partitions()
     return (
         edges.groupby("src", num_partitions=num_partitions)
         .aggregate(Count(alias_name="degree"))
@@ -130,6 +132,7 @@ def _vertex_batch(t: pa.Table) -> pa.Table:
 
 def vertices_of(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Distinct vertex ids touched by any edge (block unique + groupby)."""
+    num_partitions = num_partitions or default_partitions()
     flat = edges.map_batches(_vertex_batch, batch_format="pyarrow")
     return (
         flat.groupby("vertex", num_partitions=num_partitions)

@@ -72,6 +72,9 @@ def label_propagation(
     mirrors the reference's 1000-iteration safety
     (``src/pthreads/cc_pthreads.c:132-133``).
     """
+    from linkgraph.runtime import tune_context
+
+    tune_context()
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
 

@@ -109,6 +109,9 @@ def pagerank(
     resume: bool = False,
     mode: str = "auto",
 ) -> PageRankResult:
+    from linkgraph.runtime import tune_context
+
+    tune_context()
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
 
@@ -134,7 +137,7 @@ def pagerank(
             }
         ),
         batch_format="pyarrow",
-    ).materialize()
+    ).repartition(num_partitions).materialize()  # coalesce join fragments
 
     metrics: list[dict[str, Any]] = []
     state: rd.Dataset | None = None

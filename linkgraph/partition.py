@@ -126,7 +126,14 @@ def bucket_join(
     rw = right.map_batches(widen(1, lpay), batch_format="pyarrow")
     both = lw.union(rw)
 
+    keep_cols = [c for c in out_cols if c != _SALT]
+    empty_out = pa.table(
+        {c: pa.array([], out_types[c]) for c in keep_cols}
+    )
+
     def join_group(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty_out
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         ldf = t.filter(pa.array(side == 0)).select(on + lpay).to_pandas()
         rdf = t.filter(pa.array(side == 1)).select(on + rpay).to_pandas()
@@ -137,4 +144,8 @@ def bucket_join(
         ]
         return pa.table(dict(zip(keep, arrays)))
 
-    return both.groupby(_BUCKET).map_groups(join_group, batch_format="pyarrow")
+    # hash-repartition by bucket + whole-block merge, NOT groupby.map_groups:
+    # the hash-shuffle map_groups finalize-sort dies on schema-less empty
+    # partitions (Ray 2.49); join_group handles mixed buckets per block fine
+    parted = both.repartition(nb, keys=[_BUCKET])
+    return parted.map_batches(join_group, batch_format="pyarrow", batch_size=None)

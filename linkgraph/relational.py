@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from linkgraph.graph import default_partitions as _np
 from linkgraph import graph as G
 from linkgraph.pipelines import edges_from_lineitem
 
@@ -54,7 +55,7 @@ def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
 
     return (
         li.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np())
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
@@ -68,7 +69,7 @@ def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
 def orders_priority_stats(sf_dir: str) -> rd.Dataset:
     """min/max/avg/count of order totals per priority (scalar aggregates)."""
     o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    return o.groupby("o_orderpriority").aggregate(
+    return o.groupby("o_orderpriority", num_partitions=_np()).aggregate(
         Min("o_totalprice", alias_name="min_price"),
         Max("o_totalprice", alias_name="max_price"),
         Mean("o_totalprice", alias_name="avg_price"),
@@ -78,7 +79,7 @@ def orders_priority_stats(sf_dir: str) -> rd.Dataset:
 
 def events_by_type(sf_dir: str) -> rd.Dataset:
     ev = _read(sf_dir, "events", ["event_type", "value"])
-    return ev.groupby("event_type").aggregate(
+    return ev.groupby("event_type", num_partitions=_np()).aggregate(
         Count(alias_name="n_events"),
         Sum("value", alias_name="sum_value"),
         Mean("value", alias_name="avg_value"),
@@ -101,7 +102,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
 
     return (
         ev.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
+        .groupby(["hour", "event_type"], num_partitions=_np())
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
 
@@ -127,7 +128,7 @@ def orders_per_segment(sf_dir: str) -> rd.Dataset:
         left_payload={"o_totalprice": pa.float64()},
         right_payload={"c_mktsegment": pa.string()},
     )
-    return joined.groupby("c_mktsegment").aggregate(
+    return joined.groupby("c_mktsegment", num_partitions=_np()).aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
     )
 
@@ -153,9 +154,7 @@ def customers_per_nation(sf_dir: str) -> rd.Dataset:
             )
 
     c = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-    return c.map_batches(AttachNation, batch_format="pyarrow", concurrency=2).groupby(
-        "n_name"
-    ).aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal"))
+    return c.map_batches(AttachNation, batch_format="pyarrow", concurrency=2).groupby("n_name", num_partitions=_np()).aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal"))
 
 
 # -- sorts / top-k / distinct ------------------------------------------------
@@ -167,7 +166,7 @@ def top_docs_by_chars(sf_dir: str) -> rd.Dataset:
 
 def lang_distribution(sf_dir: str) -> rd.Dataset:
     d = _read(sf_dir, "documents", ["lang"])
-    return d.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return d.groupby("lang", num_partitions=_np()).aggregate(Count(alias_name="n_docs"))
 
 
 def distinct_users(sf_dir: str) -> rd.Dataset:
@@ -181,7 +180,7 @@ def distinct_users(sf_dir: str) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
-        .groupby("user_id")
+        .groupby("user_id", num_partitions=_np())
         .aggregate(Count(alias_name="_n"))
     )
     n = uniq.count()
@@ -209,7 +208,7 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
 
     return (
         d.map_batches(hash_block, batch_format="pyarrow")
-        .groupby("h")
+        .groupby("h", num_partitions=_np())
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
         .select_columns(["keep_id", "n_dups"])
     )

@@ -1,0 +1,44 @@
+"""Ray Data context tuning for the engine.
+
+Ray 2.49 defaults to the legacy pull-based SORT shuffle for
+groupby/map_groups/repartition — measured on this engine's superstep
+workloads it estimates 10+ GB of driver memory and runs minutes per shuffle
+at single-digit-million rows.  The hash-shuffle strategy (aggregator actors,
+no global sort, no driver staging) runs the same co-group in seconds and is
+what the engine's bucketed joins assume.
+
+``tune_context()`` is idempotent and called at the top of every public
+kernel entry point, so the engine works regardless of who created the Ray
+session (pytest fixture, bench.py, or the external driver).
+"""
+
+from __future__ import annotations
+
+from ray.data import DataContext
+from ray.data.context import ShuffleStrategy
+
+
+def tune_context() -> DataContext:
+    import ray
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # size the aggregator pool to the session: the defaults (64 aggregators,
+    # 1 logical CPU each) starve small sessions — a 4-CPU test session sits
+    # ~idle while actors wait for resources
+    cpus = 8
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    ctx.max_hash_shuffle_aggregators = max(2, cpus)
+    # Ray reserves num_partitions × this many logical CPUs for the aggregator
+    # pool; a default-200-partition groupby at 0.25 demands 50 CPUs and
+    # deadlocks a small session (observed: 4-CPU test fixture hung forever).
+    # Keep the logical reservation near-zero — it only gates scheduling, not
+    # actual compute.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    return ctx

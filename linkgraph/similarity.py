@@ -38,6 +38,54 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "cos_sim": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+def _merge_topk(partials: rd.Dataset, k: int, num_partitions: int | None) -> rd.Dataset:
+    """Global top-k per query over block-local partials.
+
+    Hash-repartition by query_id + whole-block segment top-k (NOT
+    ``groupby().map_groups`` — its hash-shuffle finalize-sort dies on
+    schema-less empty partitions in Ray 2.49).  A block may hold several
+    query segments; each is ranked independently (score desc, id asc).
+    """
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _EMPTY_TOPK
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        sim = t["cos_sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sim, qid))
+        qid, vid, sim = qid[order], vid[order], sim[order]
+        change = np.empty(len(qid), dtype=bool)
+        change[0] = True
+        np.not_equal(qid[1:], qid[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        rank = np.arange(len(qid), dtype=np.int64) - starts[seg]
+        keep = rank < k
+        return pa.table(
+            {
+                "query_id": qid[keep],
+                "vec_id": vid[keep],
+                "cos_sim": sim[keep],
+                "rank": rank[keep],
+            }
+        )
+
+    nb = num_partitions or 8
+    parted = partials.repartition(nb, keys=["query_id"])
+    return parted.map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
 def knn_bruteforce(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -86,22 +134,7 @@ def knn_bruteforce(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group["query_id"].to_numpy(zero_copy_only=False)
-        vid = group["vec_id"].to_numpy(zero_copy_only=False)
-        sim = group["cos_sim"].to_numpy(zero_copy_only=False)
-        idx = np.lexsort((vid, -sim))[:k]
-        return pa.table(
-            {
-                "query_id": qid[idx],
-                "vec_id": vid[idx],
-                "cos_sim": sim[idx],
-                "rank": np.arange(len(idx), dtype=np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k, None)
 
 
 # ---------------------------------------------------------------------------
@@ -242,19 +275,4 @@ def knn_ivf(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group["query_id"].to_numpy(zero_copy_only=False)
-        vid = group["vec_id"].to_numpy(zero_copy_only=False)
-        sim = group["cos_sim"].to_numpy(zero_copy_only=False)
-        idx = np.lexsort((vid, -sim))[:k]
-        return pa.table(
-            {
-                "query_id": qid[idx],
-                "vec_id": vid[idx],
-                "cos_sim": sim[idx],
-                "rank": np.arange(len(idx), dtype=np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k, None)

@@ -73,6 +73,9 @@ def triangle_count(
     edges: rd.Dataset, *, num_partitions: int | None = None
 ) -> int:
     """Exact global triangle count of the undirected simple graph."""
+    from linkgraph.runtime import tune_context
+
+    tune_context()
     num_partitions = num_partitions or G.default_partitions()
     canon = G.canonicalize(edges, global_dedup=True).materialize()
     # coalesce join-fragmented blocks before the double-consumed materialize
