@@ -66,12 +66,12 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     detail: dict[str, object] = {}
 
-    # graph-kernel input: a deterministic planted graph at ~4M edges
+    # graph-kernel input: a deterministic planted graph at ~1.6M edges
     # (BASELINE.md: "the planted-graph generator at ~10^6-10^7 edges for the
     # graph kernels"), cached as parquet so every parallelism level reads the
     # identical bytes
     graph_path = _planted_parquet(
-        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "1500000")),
+        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "400000")),
         n_components=16,
         epv=4,
         seed=42,
@@ -97,7 +97,9 @@ def run_bench() -> dict:
         / queries["cc"],
     }
 
-    # --- PageRank (fixed 5 supersteps, shuffle mode = the scale path) ---
+    # --- PageRank (fixed 5 supersteps; auto mode broadcasts the rank
+    # vector — 3 MB at this vertex count — and keeps edges distributed;
+    # shuffle mode is the >50M-vertex scale path) ---
     PR_ITERS = 5
     t0 = time.perf_counter()
     pr = pagerank(
@@ -106,7 +108,6 @@ def run_bench() -> dict:
         num_partitions=num_partitions,
         tol=0.0,
         max_iters=PR_ITERS,
-        mode="shuffle",
     )
     queries["pagerank"] = time.perf_counter() - t0
     sym_edges = 2 * n_edges
