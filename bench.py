@@ -62,7 +62,13 @@ def run_bench() -> dict:
     from linkgraph.pipelines import edges_from_lineitem, pages_pipeline
     from linkgraph.triangles import triangle_count
 
-    num_partitions = 2 * num_cpus
+    # partitioning is a function of the DATA, not the cluster: a fixed
+    # partition count keeps iterations-to-convergence identical at every
+    # parallelism level (the determinism half of the scaling criterion).
+    # Kept low-ish: every hash shuffle ships blocks × partitions shard
+    # objects, and per-object overhead dominates below ~10^7 rows/partition.
+    num_partitions = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "16"))
+    graph_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "32"))
     queries: dict[str, float] = {}
     detail: dict[str, object] = {}
 
@@ -79,12 +85,13 @@ def run_bench() -> dict:
 
     # warm the page cache (untimed reads)
     edges_from_lineitem(sf_dir).count()
-    n_edges = rd.read_parquet(graph_path).count()
+    n_edges = rd.read_parquet(graph_path, override_num_blocks=graph_blocks).count()
 
     # --- CC (flagship) ---
     t0 = time.perf_counter()
     cc_res = connected_components(
-        rd.read_parquet(graph_path), num_partitions=num_partitions
+        rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
+        num_partitions=num_partitions,
     )
     queries["cc"] = time.perf_counter() - t0
     detail["cc"] = {
@@ -103,7 +110,7 @@ def run_bench() -> dict:
     PR_ITERS = 5
     t0 = time.perf_counter()
     pr = pagerank(
-        rd.read_parquet(graph_path),
+        rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
         directed=False,
         num_partitions=num_partitions,
         tol=0.0,

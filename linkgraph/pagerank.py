@@ -67,6 +67,62 @@ def _prepare_edges(edges: rd.Dataset, directed: bool, num_partitions: int) -> rd
     return G.symmetrize(G.canonicalize(edges, global_dedup=True))
 
 
+_EMPTY_WEIGHTED = pa.table(
+    {
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "inv": pa.array([], pa.float64()),
+    }
+)
+_EMPTY_DEG = pa.table(
+    {"vertex": pa.array([], pa.int64()), "outdeg": pa.array([], pa.int64())}
+)
+
+
+def _weight_block(t: pa.Table) -> pa.Table:
+    """Whole-block (src-partitioned, symmetrized): dedup + degree + 1/deg.
+
+    All copies of an undirected edge (u, v) land in the block owning src=u,
+    so block-local adjacent-dedup IS global dedup, and the per-src segment
+    length IS the global degree — one shuffle replaces the dedup groupby +
+    degree groupby + edge⋈degree join chain.
+    """
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_WEIGHTED
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    keep = np.empty(len(s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    s, d = s[keep], d[keep]
+    change = np.empty(len(s), dtype=bool)
+    change[0] = True
+    change[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(change)
+    seg = np.cumsum(change) - 1
+    counts = np.diff(np.append(starts, len(s)))
+    inv = (1.0 / counts)[seg]
+    return pa.table({"src": s, "dst": d, "inv": inv})
+
+
+def _deg_block(t: pa.Table) -> pa.Table:
+    """(vertex, outdeg) from a src-partitioned weighted block — no shuffle:
+    src values are globally partitioned, so block-local uniques are global."""
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_DEG
+    s = t["src"].to_numpy(zero_copy_only=False)
+    order = np.argsort(s, kind="stable")
+    s = s[order]
+    change = np.empty(len(s), dtype=bool)
+    change[0] = True
+    change[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(s)))
+    return pa.table({"vertex": s[starts], "outdeg": counts})
+
+
 def _pull_columns(ds: rd.Dataset, cols: list[str]) -> list[np.ndarray]:
     parts: list[list[np.ndarray]] = [[] for _ in cols]
     for b in ds.select_columns(cols).iter_batches(
@@ -115,29 +171,41 @@ def pagerank(
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
 
-    simple = _prepare_edges(edges, directed, num_partitions).materialize()
-    deg = G.out_degrees(simple, num_partitions)
-    # attach 1/outdeg to every edge once; static across supersteps
-    weighted = bucket_join(
-        simple,
-        deg.map_batches(
-            lambda t: pa.table({"src": t["vertex"], "outdeg": t["degree"]}),
+    # undirected + implicit vertex set: ONE shuffle builds the weighted edge
+    # table (see _weight_block) and the degree table falls out shuffle-free
+    fast_undirected = not directed and vertices is None
+    if fast_undirected:
+        sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
+        weighted = (
+            sym.repartition(num_partitions, keys=["src"])
+            .map_batches(_weight_block, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        deg = None
+    else:
+        simple = _prepare_edges(edges, directed, num_partitions).materialize()
+        deg = G.out_degrees(simple, num_partitions)
+        # attach 1/outdeg to every edge once; static across supersteps
+        weighted = bucket_join(
+            simple,
+            deg.map_batches(
+                lambda t: pa.table({"src": t["vertex"], "outdeg": t["degree"]}),
+                batch_format="pyarrow",
+            ),
+            ["src"],
+            num_buckets=num_partitions,
+            left_payload={"dst": pa.int64()},
+            right_payload={"outdeg": pa.int64()},
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "inv": pa.compute.divide(pa.scalar(1.0), t["outdeg"].cast(pa.float64())),
+                }
+            ),
             batch_format="pyarrow",
-        ),
-        ["src"],
-        num_buckets=num_partitions,
-        left_payload={"dst": pa.int64()},
-        right_payload={"outdeg": pa.int64()},
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "src": t["src"],
-                "dst": t["dst"],
-                "inv": pa.compute.divide(pa.scalar(1.0), t["outdeg"].cast(pa.float64())),
-            }
-        ),
-        batch_format="pyarrow",
-    ).repartition(num_partitions).materialize()  # coalesce join fragments
+        ).repartition(num_partitions).materialize()  # coalesce join fragments
 
     metrics: list[dict[str, Any]] = []
     state: rd.Dataset | None = None
@@ -152,28 +220,35 @@ def pagerank(
             metrics.append(meta)
 
     if state is None:
-        verts = vertices if vertices is not None else G.vertices_of(simple, num_partitions)
-        # R0: every vertex with rank 1/V and its outdeg (0 when dangling)
-        with_deg = (
-            deg.map_batches(
-                lambda t: pa.table({"vertex": t["vertex"], "outdeg": t["degree"]}),
-                batch_format="pyarrow",
-            )
-            .union(
-                verts.map_batches(
-                    lambda t: pa.table(
-                        {
-                            "vertex": t["vertex"],
-                            "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
-                        }
-                    ),
+        if fast_undirected:
+            # src-partitioned blocks → block-local uniques are global; every
+            # vertex has degree ≥ 1 (it appears as src post-symmetrize)
+            with_deg = weighted.map_batches(
+                _deg_block, batch_format="pyarrow", batch_size=None
+            ).materialize()
+        else:
+            verts = vertices if vertices is not None else G.vertices_of(simple, num_partitions)
+            # R0: every vertex with rank 1/V and its outdeg (0 when dangling)
+            with_deg = (
+                deg.map_batches(
+                    lambda t: pa.table({"vertex": t["vertex"], "outdeg": t["degree"]}),
                     batch_format="pyarrow",
                 )
+                .union(
+                    verts.map_batches(
+                        lambda t: pa.table(
+                            {
+                                "vertex": t["vertex"],
+                                "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+                .groupby("vertex", num_partitions=num_partitions)
+                .aggregate(Max("outdeg", alias_name="outdeg"))
+                .materialize()
             )
-            .groupby("vertex", num_partitions=num_partitions)
-            .aggregate(Max("outdeg", alias_name="outdeg"))
-            .materialize()
-        )
         num_v = with_deg.count()
         r0 = 1.0 / num_v
 
@@ -187,10 +262,14 @@ def pagerank(
             )
 
         state = with_deg.map_batches(init, batch_format="pyarrow")
-        n_dangling = with_deg.map_batches(
-            lambda t: t.filter(pa.compute.equal(t["outdeg"], 0)), batch_format="pyarrow"
-        ).count()
-        dm = n_dangling * r0
+        if fast_undirected:
+            dm = 0.0  # post-symmetrize every vertex has outdeg ≥ 1
+        else:
+            n_dangling = with_deg.map_batches(
+                lambda t: t.filter(pa.compute.equal(t["outdeg"], 0)),
+                batch_format="pyarrow",
+            ).count()
+            dm = n_dangling * r0
         state = ckpt.save(
             0, state, {"phase": "init", "num_vertices": num_v, "dangling_mass": dm}
         )
