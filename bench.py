@@ -72,12 +72,12 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     detail: dict[str, object] = {}
 
-    # graph-kernel input: a deterministic planted graph at ~1.6M edges
+    # graph-kernel input: a deterministic planted graph at ~4M edges
     # (BASELINE.md: "the planted-graph generator at ~10^6-10^7 edges for the
     # graph kernels"), cached as parquet so every parallelism level reads the
     # identical bytes
     graph_path = _planted_parquet(
-        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "400000")),
+        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "1600000")),
         n_components=16,
         epv=4,
         seed=42,

@@ -236,7 +236,7 @@ def connected_components(
     tune_context()
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
-    verts = vertices if vertices is not None else G.vertices_of(edges, num_partitions)
+    verts = vertices  # None → identity rows come straight from the edges
 
     metrics: list[dict[str, Any]] = []
     start_round = 0
@@ -285,21 +285,55 @@ def connected_components(
             raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
 
     # labels: star children get their root; roots/isolated get themselves
+    t0 = time.perf_counter()
     as_labels = pairs.map_batches(
         lambda t: pa.table({"vertex": t["dst"], "label": t["src"]}),
         batch_format="pyarrow",
     )
-    identity = verts.map_batches(
-        lambda t: pa.table({"vertex": t["vertex"], "label": t["vertex"]}),
-        batch_format="pyarrow",
-    )
+    if verts is not None:
+        identity = verts.map_batches(
+            lambda t: pa.table({"vertex": t["vertex"], "label": t["vertex"]}),
+            batch_format="pyarrow",
+        )
+    else:
+        # every edge endpoint as (v, v) — duplicates are fine, the
+        # per-vertex min below combines them; this avoids a distinct-vertex
+        # shuffle (vertices_of) that cost more than all star rounds together
+        def endpoint_identity(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            v = np.concatenate([s, d])
+            return pa.table({"vertex": v, "label": v})
+
+        identity = edges.map_batches(endpoint_identity, batch_format="pyarrow")
+
+    def label_min_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "vertex": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        l = t["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, l = v[order], l[order]
+        starts, _ = _segments(v)
+        return pa.table(
+            {"vertex": v[starts], "label": np.minimum.reduceat(l, starts)}
+        )
+
     labels = (
         as_labels.union(identity)
-        .groupby("vertex", num_partitions=num_partitions)
-        .aggregate(Min("label", alias_name="label"))
+        .repartition(num_partitions, keys=["vertex"])
+        .map_batches(label_min_block, batch_format="pyarrow", batch_size=None)
     )
     labels = labels.materialize()
+    metrics.append({"phase": "labels", "wall_s": time.perf_counter() - t0})
+    t0 = time.perf_counter()
     num_components = count_components(labels, num_partitions)
+    metrics.append({"phase": "count", "wall_s": time.perf_counter() - t0})
     return CCResult(labels, num_components, rounds, metrics)
 
 

@@ -176,9 +176,22 @@ def pagerank(
     fast_undirected = not directed and vertices is None
     if fast_undirected:
         sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-        weighted = (
+        weighted_src = (
             sym.repartition(num_partitions, keys=["src"])
             .map_batches(_weight_block, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        # re-key the static table by dst: broadcast-mode supersteps emit
+        # per-block (dst, contrib) partials, and dst-disjoint blocks make
+        # those partials globally disjoint — the driver combine then pulls
+        # exactly num_v rows instead of ~num_blocks × num_v overlapping ones
+        weighted = (
+            weighted_src.repartition(num_partitions, keys=["dst"])
+            .map_batches(
+                lambda t: t if t.num_columns else _EMPTY_WEIGHTED,
+                batch_format="pyarrow",
+                batch_size=None,
+            )
             .materialize()
         )
         deg = None
@@ -223,7 +236,7 @@ def pagerank(
         if fast_undirected:
             # src-partitioned blocks → block-local uniques are global; every
             # vertex has degree ≥ 1 (it appears as src post-symmetrize)
-            with_deg = weighted.map_batches(
+            with_deg = weighted_src.map_batches(
                 _deg_block, batch_format="pyarrow", batch_size=None
             ).materialize()
         else:
