@@ -56,6 +56,9 @@ def _init_state(verts: rd.Dataset) -> rd.Dataset:
     return verts.map_batches(fn, batch_format="pyarrow")
 
 
+BROADCAST_MAX_VERTICES = 50_000_000
+
+
 def label_propagation(
     edges: rd.Dataset,
     *,
@@ -65,18 +68,36 @@ def label_propagation(
     resume: bool = False,
     frontier: bool = True,
     max_iters: int = 1000,
+    mode: str = "auto",
 ) -> CCResult:
     """Min-id component labels via synchronous min-label supersteps.
 
     Same fixed point as ``cc.connected_components`` (tested); iteration cap
     mirrors the reference's 1000-iteration safety
     (``src/pthreads/cc_pthreads.c:132-133``).
+
+    ``mode="broadcast"`` (auto below 50M vertices) is the Allgatherv
+    analogue: the label vector is broadcast per superstep, dst-partitioned
+    edge blocks emit disjoint per-dst min candidates in ONE distributed
+    pass, and the driver applies the min + changed-count.  ``"shuffle"``
+    keeps all vertex state distributed (join + min-reduce per superstep) —
+    the >50M-vertex path.
     """
     from linkgraph.runtime import tune_context
 
     tune_context()
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
+
+    if mode in ("auto", "broadcast"):
+        res = _labelprop_broadcast(
+            edges, vertices, num_partitions, checkpointer, ckpt, resume,
+            max_iters, strict=(mode == "broadcast"),
+        )
+        if res is not None:
+            return res
+    elif mode != "shuffle":
+        raise ValueError(f"unknown mode {mode!r}")
 
     sym = G.symmetrize(G.canonicalize(edges)).materialize()  # reused every superstep
     verts = vertices if vertices is not None else G.vertices_of(sym, num_partitions)
@@ -165,3 +186,143 @@ def label_propagation(
 
     labels = state.select_columns(["vertex", "label"]).materialize()
     return CCResult(labels, count_components(labels, num_partitions), iters, metrics)
+
+
+def _label_state_ds(ids: np.ndarray, labels: np.ndarray, changed: np.ndarray) -> rd.Dataset:
+    """Driver vectors → (vertex, label, changed) Dataset in ~4M-row chunks."""
+    chunk = 1 << 22
+    tables = [
+        pa.table(
+            {
+                "vertex": ids[i : i + chunk],
+                "label": labels[i : i + chunk],
+                "changed": changed[i : i + chunk].astype(np.int8),
+            }
+        )
+        for i in range(0, max(len(ids), 1), chunk)
+    ]
+    return rd.from_arrow(tables if len(tables) > 1 else tables[0])
+
+
+def _labelprop_broadcast(
+    edges, vertices, num_partitions, checkpointer, ckpt, resume, max_iters, strict
+) -> CCResult | None:
+    """One distributed pass per superstep: broadcast the label vector,
+    dst-partitioned edge blocks emit disjoint per-dst min candidates,
+    driver applies the min + changed count (``MPI_Allgatherv`` analogue,
+    ref ``src/mpi/cc_mpi.c:388-571``).  Returns None (→ shuffle path) when
+    the vertex set exceeds ``BROADCAST_MAX_VERTICES`` and not strict."""
+    import ray
+
+    sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
+    edges_dst = sym.repartition(num_partitions, keys=["dst"]).materialize()
+
+    def uniq_dst(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"vertex": pa.array([], pa.int64())})
+        return pa.table(
+            {"vertex": np.unique(t["dst"].to_numpy(zero_copy_only=False))}
+        )
+
+    # dst-partitioned blocks have disjoint dst sets, and post-symmetrize the
+    # dst set IS the vertex set — per-block uniques concat to the exact set
+    parts = [
+        b["vertex"].to_numpy(zero_copy_only=False)
+        for b in edges_dst.map_batches(
+            uniq_dst, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=1 << 22, batch_format="pyarrow")
+    ]
+    ids = (
+        np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    if vertices is not None:
+        extra = [
+            b["vertex"].to_numpy(zero_copy_only=False)
+            for b in vertices.iter_batches(
+                batch_size=1 << 22, batch_format="pyarrow"
+            )
+        ]
+        ids = np.unique(np.concatenate([ids] + extra))
+    num_v = len(ids)
+    if num_v > BROADCAST_MAX_VERTICES and not strict:
+        return None
+
+    labels = ids.copy()
+    metrics: list[dict[str, Any]] = []
+    start = 1
+    if resume and checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            it, state, meta = latest
+            vs, ls = [], []
+            for b in state.select_columns(["vertex", "label"]).iter_batches(
+                batch_size=1 << 22, batch_format="pyarrow"
+            ):
+                vs.append(b["vertex"].to_numpy(zero_copy_only=False))
+                ls.append(b["label"].to_numpy(zero_copy_only=False))
+            if vs:
+                v, l = np.concatenate(vs), np.concatenate(ls)
+                labels[np.searchsorted(ids, v)] = l
+            start = it + 1
+            metrics.append(meta)
+
+    iters = 0
+    for it in range(start, start + max_iters):
+        t0 = time.perf_counter()
+        ref = ray.put((ids, labels))
+
+        def emit(t: pa.Table, ref=ref) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {
+                        "vertex": pa.array([], pa.int64()),
+                        "cand": pa.array([], pa.int64()),
+                    }
+                )
+            ids_, lab_ = ray.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            c = lab_[np.searchsorted(ids_, s)]
+            order = np.argsort(d, kind="stable")
+            d, c = d[order], c[order]
+            change = np.empty(len(d), dtype=bool)
+            change[0] = True
+            np.not_equal(d[1:], d[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            return pa.table(
+                {"vertex": d[starts], "cand": np.minimum.reduceat(c, starts)}
+            )
+
+        new_labels = labels.copy()
+        for b in edges_dst.map_batches(
+            emit, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
+            v = b["vertex"].to_numpy(zero_copy_only=False)
+            c = b["cand"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, v)
+            np.minimum.at(new_labels, pos, c)
+        changed_mask = new_labels < labels
+        changed = int(changed_mask.sum())
+        labels = new_labels
+        iters += 1
+        meta = {
+            "iteration": it,
+            "changed": changed,
+            "wall_s": time.perf_counter() - t0,
+            "mode": "broadcast",
+        }
+        metrics.append(meta)
+        if checkpointer is not None:
+            ckpt.save(
+                it,
+                _label_state_ds(ids, labels, changed_mask),
+                {"phase": "superstep", "iteration": it, "changed": changed},
+            )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation exceeded {max_iters} supersteps")
+
+    out = _label_state_ds(ids, labels, np.zeros(len(ids), dtype=bool))
+    labels_ds = out.select_columns(["vertex", "label"]).materialize()
+    return CCResult(labels_ds, int(len(np.unique(labels))), iters, metrics)

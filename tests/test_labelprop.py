@@ -35,3 +35,35 @@ def test_frontier_matches_full_sweep():
     b = label_propagation(G.from_arrow_edges(edges), num_partitions=2, frontier=False)
     assert labels_dict(a.labels) == labels_dict(b.labels)
     assert a.num_components == b.num_components
+
+
+def test_broadcast_matches_shuffle():
+    edges, _ = synth.make_planted_graph(300, 3, 4, seed=29)
+    a = label_propagation(
+        G.from_arrow_edges(edges), num_partitions=4, mode="broadcast"
+    )
+    b = label_propagation(
+        G.from_arrow_edges(edges), num_partitions=4, mode="shuffle"
+    )
+    assert labels_dict(a.labels) == labels_dict(b.labels)
+    assert a.num_components == b.num_components
+    # synchronous min-label supersteps are deterministic: identical rounds
+    assert a.num_iterations == b.num_iterations
+
+
+def test_broadcast_checkpoint_resume(tmp_ckpt):
+    from linkgraph.checkpoint import Checkpointer
+
+    edges, _ = synth.make_planted_graph(200, 2, 4, seed=31)
+    full = label_propagation(
+        G.from_arrow_edges(edges),
+        num_partitions=2,
+        checkpointer=Checkpointer(tmp_ckpt, "lp"),
+    )
+    resumed = label_propagation(
+        G.from_arrow_edges(edges),
+        num_partitions=2,
+        checkpointer=Checkpointer(tmp_ckpt, "lp"),
+        resume=True,
+    )
+    assert labels_dict(full.labels) == labels_dict(resumed.labels)
