@@ -294,13 +294,15 @@ def _labelprop_broadcast(
             )
 
         new_labels = labels.copy()
+        # per-block candidates are globally disjoint (dst-partitioned), so
+        # plain vectorized minimum beats np.minimum.at (~10x slower)
         for b in edges_dst.map_batches(
             emit, batch_format="pyarrow", batch_size=None
         ).iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
             v = b["vertex"].to_numpy(zero_copy_only=False)
             c = b["cand"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(ids, v)
-            np.minimum.at(new_labels, pos, c)
+            new_labels[pos] = np.minimum(new_labels[pos], c)
         changed_mask = new_labels < labels
         changed = int(changed_mask.sum())
         labels = new_labels

@@ -218,7 +218,10 @@ def pagerank(
                 }
             ),
             batch_format="pyarrow",
-        ).repartition(num_partitions).materialize()  # coalesce join fragments
+        ).repartition(num_partitions, keys=["dst"]).materialize()
+        # keyed by dst: coalesces join fragments AND makes broadcast-mode
+        # per-block partials globally disjoint (required by the driver
+        # combine's direct assignment)
 
     metrics: list[dict[str, Any]] = []
     state: rd.Dataset | None = None
@@ -436,31 +439,39 @@ def _pagerank_broadcast(
         ref = ray.put((ids, ranks))
 
         def emit(t: pa.Table, ref=ref) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {
+                        "vertex": pa.array([], pa.int64()),
+                        "contrib": pa.array([], pa.float64()),
+                    }
+                )
             ids_, ranks_ = ray.get(ref)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             inv = t["inv"].to_numpy(zero_copy_only=False)
             c = ranks_[np.searchsorted(ids_, src)] * inv
-            uniq, invix = np.unique(dst, return_inverse=True)
-            sums = np.zeros(len(uniq))
-            np.add.at(sums, invix, c)
-            return pa.table({"vertex": uniq, "contrib": sums})
+            # sort + reduceat, NOT np.add.at (ufunc.at is ~10x slower)
+            order = np.argsort(dst, kind="stable")
+            d, c = dst[order], c[order]
+            change = np.empty(len(d), dtype=bool)
+            change[0] = True
+            np.not_equal(d[1:], d[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            return pa.table(
+                {"vertex": d[starts], "contrib": np.add.reduceat(c, starts)}
+            )
 
-        pv, pc = [], []
-        for b in weighted.map_batches(emit, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        ):
-            pv.append(b["vertex"].to_numpy(zero_copy_only=False))
-            pc.append(b["contrib"].to_numpy(zero_copy_only=False))
         contrib = np.zeros(num_v)
-        if pv:
-            v = np.concatenate(pv)
-            c = np.concatenate(pc)
-            # deterministic combine independent of block arrival order
-            o = np.lexsort((c, v))
-            v, c = v[o], c[o]
-            pos = np.searchsorted(ids, v)
-            np.add.at(contrib, pos, c)
+        # per-block partials are globally DISJOINT (weighted is
+        # dst-partitioned), so direct indexed assignment is exact and
+        # deterministic regardless of block arrival order
+        for b in weighted.map_batches(
+            emit, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            v = b["vertex"].to_numpy(zero_copy_only=False)
+            c = b["contrib"].to_numpy(zero_copy_only=False)
+            contrib[np.searchsorted(ids, v)] = c
 
         r_new = (1.0 - damping) / num_v + damping * (contrib + dm / num_v)
         delta = float(np.abs(r_new - ranks).sum())
