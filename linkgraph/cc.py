@@ -215,6 +215,40 @@ class CCResult:
     metrics: list[dict[str, Any]] = field(default_factory=list)
 
 
+def _local_finish(
+    pairs: rd.Dataset, rounds: int, metrics: list[dict[str, Any]]
+) -> CCResult:
+    """Finish a small remainder on the driver with the numpy union-find.
+
+    The dataflow analogue of Afforest's "finish the non-giant remainder
+    cheaply" tail (ref ``src/cc_openmp.c:498-617``): once the contracted
+    pair set fits comfortably in driver memory, one local hook-and-compress
+    beats several more distributed rounds of ~2.4 s fixed cost each.
+    """
+    t0 = time.perf_counter()
+    us, ds_ = [], []
+    for b in pairs.iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
+        us.append(b["src"].to_numpy(zero_copy_only=False))
+        ds_.append(b["dst"].to_numpy(zero_copy_only=False))
+    u = np.concatenate(us) if us else np.empty(0, np.int64)
+    v = np.concatenate(ds_) if ds_ else np.empty(0, np.int64)
+    ids = np.unique(np.concatenate([u, v]))
+    comp = _local_components(
+        np.searchsorted(ids, u), np.searchsorted(ids, v), len(ids)
+    )
+    labels_arr = ids[comp]
+    chunk = 1 << 22
+    tables = [
+        pa.table({"vertex": ids[i : i + chunk], "label": labels_arr[i : i + chunk]})
+        for i in range(0, max(len(ids), 1), chunk)
+    ]
+    labels = rd.from_arrow(tables if len(tables) > 1 else tables[0]).materialize()
+    metrics.append(
+        {"phase": "local_finish", "pairs": len(u), "wall_s": time.perf_counter() - t0}
+    )
+    return CCResult(labels, int(len(np.unique(labels_arr))), rounds, metrics)
+
+
 def connected_components(
     edges: rd.Dataset,
     *,
@@ -224,12 +258,18 @@ def connected_components(
     resume: bool = False,
     max_rounds: int = 64,
     contract_batch_size: int | None = None,
+    local_finish_threshold: int = 200_000,
 ) -> CCResult:
     """Min-id component labels for an (arbitrary, possibly dirty) edge table.
 
     ``vertices`` — optional Dataset of all vertex ids (column ``vertex``);
     pass it when isolated vertices (no incident edges) must be labeled.
     Defaults to the vertices touched by ``edges``.
+
+    ``local_finish_threshold`` — once the contracted pair set has at most
+    this many rows it is pulled to the driver and finished with the local
+    union-find (0 disables).  Distributed rounds at that size are pure
+    fixed overhead; the threshold stays far below worker memory.
     """
     from linkgraph.runtime import tune_context
 
@@ -259,6 +299,8 @@ def connected_components(
     rounds = 0
     if fp[0] == 0:
         start_round = max_rounds = 0  # empty edge set: labels = identity
+    if verts is None and 0 < fp[0] <= local_finish_threshold:
+        return _local_finish(pairs, rounds, metrics)
     for r in range(start_round, start_round + max_rounds):
         t0 = time.perf_counter()
         # repartition: map_groups output fragments into many tiny blocks;
@@ -280,6 +322,8 @@ def connected_components(
         if new_fp == fp:
             break
         fp = new_fp
+        if verts is None and 0 < fp[0] <= local_finish_threshold:
+            return _local_finish(pairs, rounds, metrics)
     else:
         if max_rounds > 0:
             raise RuntimeError(f"CC did not converge within {max_rounds} rounds")

@@ -122,10 +122,25 @@ def test_parallel_edges_and_self_loops():
 def test_determinism_across_partitionings():
     edges, _ = synth.make_planted_graph(2_000, 4, 6, seed=5)
     a = connected_components(
-        G.from_arrow_edges(edges).repartition(2), num_partitions=2
+        G.from_arrow_edges(edges).repartition(2),
+        num_partitions=2,
+        local_finish_threshold=0,
     )
     b = connected_components(
-        G.from_arrow_edges(edges).repartition(8), num_partitions=8
+        G.from_arrow_edges(edges).repartition(8),
+        num_partitions=8,
+        local_finish_threshold=0,
     )
     assert labels_dict(a.labels) == labels_dict(b.labels)
-    assert a.num_components == b.num_components
+
+
+def test_local_finish_matches_distributed():
+    edges, _ = synth.make_planted_graph(1_500, 5, 4, seed=23)
+    local = connected_components(G.from_arrow_edges(edges), num_partitions=4)
+    dist = connected_components(
+        G.from_arrow_edges(edges), num_partitions=4, local_finish_threshold=0
+    )
+    assert any(m["phase"] == "local_finish" for m in local.metrics)
+    assert all(m["phase"] != "local_finish" for m in dist.metrics)
+    assert labels_dict(local.labels) == labels_dict(dist.labels)
+    assert local.num_components == dist.num_components
