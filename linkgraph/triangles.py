@@ -24,12 +24,51 @@ from linkgraph import graph as G
 from linkgraph.partition import bucket_join
 
 
+BROADCAST_MAX_VERTICES = 50_000_000
+
+
 def orient_by_degree(
     canon: rd.Dataset, num_partitions: int | None = None
 ) -> rd.Dataset:
-    """Orient id-canonical edges by the (degree, id) total order."""
+    """Orient id-canonical edges by the (degree, id) total order.
+
+    Below ``BROADCAST_MAX_VERTICES`` the degree vector is broadcast once
+    and the orientation is a single map pass (no joins); above, two
+    bucketed joins attach degrees distributedly.
+    """
+    import ray
+
     num_partitions = num_partitions or G.default_partitions()
     deg = G.undirected_degrees(canon, num_partitions).materialize()
+    num_v = deg.count()
+    if num_v <= BROADCAST_MAX_VERTICES:
+        vs, gs = [], []
+        for b in deg.iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
+            vs.append(b["vertex"].to_numpy(zero_copy_only=False))
+            gs.append(b["degree"].to_numpy(zero_copy_only=False))
+        ids = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        dg = np.concatenate(gs) if gs else np.empty(0, np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, dg = ids[order], dg[order]
+        ref = ray.put((ids, dg))
+
+        def orient_bcast(t: pa.Table, ref=ref) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            ids_, dg_ = ray.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            ds_ = dg_[np.searchsorted(ids_, s)]
+            dd = dg_[np.searchsorted(ids_, d)]
+            fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+            return pa.table(
+                {"a": np.where(fwd, s, d), "b": np.where(fwd, d, s)}
+            )
+
+        return canon.map_batches(orient_bcast, batch_format="pyarrow")
+
     with_src = bucket_join(
         canon,
         deg.map_batches(
