@@ -36,8 +36,9 @@ def tune_context() -> DataContext:
     # few fat aggregators, not one per CPU: every shuffle op spawns a FRESH
     # actor pool (new Python worker processes); at 32 CPUs a 32-actor pool
     # costs ~10-15 s of process startup per execution, dwarfing the actual
-    # concat work.  Aggregation here is concat-only, so 8 actors suffice.
-    ctx.max_hash_shuffle_aggregators = max(2, min(8, cpus))
+    # concat work.  Capped at 16 (measured best at 32 CPUs / 16 partitions;
+    # scales down with the session so reduce throughput grows with CPUs).
+    ctx.max_hash_shuffle_aggregators = max(2, min(16, cpus))
     # Ray reserves num_partitions × this many logical CPUs for the aggregator
     # pool; a default-200-partition groupby at 0.25 demands 50 CPUs and
     # deadlocks a small session (observed: 4-CPU test fixture hung forever).
