@@ -33,6 +33,7 @@ from ray.data.aggregate import Count, Min
 from linkgraph import graph as G
 from linkgraph.cc import connected_components
 from linkgraph.partition import bucket_join
+from linkgraph.runtime import resolve_concurrency
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -210,13 +211,13 @@ def minhash_signatures(
     *,
     num_perm: int = 64,
     shingle_k: int = 5,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_concurrency(concurrency),
     )
 
 
@@ -228,13 +229,13 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.7,
     num_partitions: int | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Near-duplicate clusters: (doc_id, cluster_id), one row per doc that
     belongs to a near-dup cluster (cluster_id = min doc_id in cluster)."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
-        ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
+        ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=resolve_concurrency(concurrency)
     ).materialize()
 
     band_rows = sigs.map_batches(
@@ -366,7 +367,7 @@ def simhash_dedup(
     *,
     hamming_k: int = 3,
     num_partitions: int | None = None,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Near-dup clusters by simhash Hamming distance ≤ k.
 
@@ -376,7 +377,7 @@ def simhash_dedup(
     """
     n_blocks = hamming_k + 1
     sh = ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency
+        SimHasher, batch_format="pyarrow", concurrency=resolve_concurrency(concurrency)
     ).materialize()
     width = 63 // n_blocks + 1
 

@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from linkgraph.runtime import resolve_concurrency
+
 PARSER_VERSION = 1
 
 _SKIP_SCHEMES = ("mailto:", "javascript:", "data:", "tel:", "ftp:", "file:", "about:")
@@ -136,7 +138,7 @@ class TextExtractor:
 def pages_to_url_edges(
     pages: rd.Dataset,
     *,
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
 ) -> rd.Dataset:
     """pages → URL-level edge table via the extractor actor pool.
@@ -149,14 +151,14 @@ def pages_to_url_edges(
         HrefExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=resolve_concurrency(concurrency),
     )
 
 
 def pages_to_text(
     pages: rd.Dataset,
     *,
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
 ) -> rd.Dataset:
     """pages → (url, text); the per-url byte-identical deliverable."""
@@ -164,7 +166,7 @@ def pages_to_text(
         TextExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=resolve_concurrency(concurrency),
     )
 
 

@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from linkgraph.runtime import resolve_concurrency
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -179,12 +181,12 @@ class ImageResizer:
 
 
 def media_features(
-    media: rd.Dataset, *, concurrency: int | tuple[int, int] = 2, batch_size: int = 64
+    media: rd.Dataset, *, concurrency: int | tuple[int, int] | None = None, batch_size: int = 64
 ) -> rd.Dataset:
     """Feature extraction over a media table (small batches: wide rows)."""
     return media.map_batches(
         MediaFeatures, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=resolve_concurrency(concurrency),
     )
 
 
@@ -193,7 +195,7 @@ def resize_images(
     out_w: int = 16,
     out_h: int = 16,
     *,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
 ) -> rd.Dataset:
     return media.map_batches(
@@ -201,5 +203,5 @@ def resize_images(
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=resolve_concurrency(concurrency),
     )

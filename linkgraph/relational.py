@@ -154,7 +154,20 @@ def customers_per_nation(sf_dir: str) -> rd.Dataset:
             )
 
     c = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-    return c.map_batches(AttachNation, batch_format="pyarrow", concurrency=2).groupby("n_name", num_partitions=_np()).aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal"))
+    from linkgraph.runtime import resolve_concurrency
+
+    return (
+        c.map_batches(
+            AttachNation,
+            batch_format="pyarrow",
+            concurrency=resolve_concurrency(None),
+        )
+        .groupby("n_name", num_partitions=_np())
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="sum_acctbal"),
+        )
+    )
 
 
 # -- sorts / top-k / distinct ------------------------------------------------

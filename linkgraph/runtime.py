@@ -18,6 +18,29 @@ from ray.data import DataContext
 from ray.data.context import ShuffleStrategy
 
 
+def default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the session: (1, CPUs).
+
+    A fixed pool (e.g. ``concurrency=2``) underuses a 32-CPU node and would
+    starve a multi-node cluster; an autoscaling range lets Ray grow the
+    pool with queue depth and shrink it when idle.
+    """
+    import ray
+
+    cpus = 8
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    return (1, max(2, cpus))
+
+
+def resolve_concurrency(c):
+    """Caller-supplied concurrency, or the session-sized autoscaling range."""
+    return c if c is not None else default_concurrency()
+
+
 def tune_context() -> DataContext:
     import ray
 

@@ -15,6 +15,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from linkgraph.runtime import resolve_concurrency
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
     "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
@@ -84,10 +86,10 @@ class QualityScorer:
 
 
 def quality_scores(
-    ds: rd.Dataset, *, concurrency: int | tuple[int, int] = 2, batch_size: int = 4096
+    ds: rd.Dataset, *, concurrency: int | tuple[int, int] | None = None, batch_size: int = 4096
 ) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=concurrency,
+        QualityScorer, batch_format="pyarrow", concurrency=resolve_concurrency(concurrency),
         batch_size=batch_size,
     )
 
@@ -172,14 +174,14 @@ def lang_id(
     ds: rd.Dataset,
     profiles: dict[str, np.ndarray],
     *,
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     ref = ray.put(profiles)
     return ds.select_columns(["doc_id", "text"]).map_batches(
         LangId,
         fn_constructor_kwargs={"profiles_ref": ref},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_concurrency(concurrency),
     )
 
 
@@ -211,10 +213,10 @@ class TokenCounter:
 
 
 def token_stats(
-    ds: rd.Dataset, *, concurrency: int | tuple[int, int] = 2
+    ds: rd.Dataset, *, concurrency: int | tuple[int, int] | None = None
 ) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        TokenCounter, batch_format="pyarrow", concurrency=concurrency
+        TokenCounter, batch_format="pyarrow", concurrency=resolve_concurrency(concurrency)
     )
 
 
