@@ -1,0 +1,160 @@
+"""``python -m linkgraph`` — the ``ray job submit`` entry point.
+
+North-rule requirement: the engine runs as a Ray job on a fixed-size
+cluster.  Submit with e.g.::
+
+    ray job submit --working-dir . -- \
+        python -m linkgraph cc --edges s3://bucket/edges/ --output /out/labels
+
+Subcommands mirror the kernel surface: ``cc``, ``pagerank``, ``labelprop``,
+``triangles``, ``extract-cc`` (pages parquet → href edges → components).
+Results are written as partitioned Parquet (resumable output — one file per
+block, never one giant file) and a one-line JSON summary goes to stdout.
+
+Ray session: attaches to the cluster Ray (``ray job submit`` sets
+RAY_ADDRESS) or starts a local one; guarded so an externally initialised
+session is reused untouched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, logging_level="ERROR")
+
+
+def _edges(path: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns)
+
+
+def _ckpt(args):
+    from linkgraph.checkpoint import Checkpointer
+
+    if args.checkpoint_dir:
+        return Checkpointer(args.checkpoint_dir, args.job_name)
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="linkgraph")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--output", required=True, help="output parquet directory")
+        sp.add_argument("--num-partitions", type=int, default=None)
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--job-name", default="job")
+        sp.add_argument("--resume", action="store_true")
+
+    for name in ("cc", "pagerank", "labelprop", "triangles"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--edges", required=True, help="edge parquet (src, dst)")
+        common(sp)
+        if name == "pagerank":
+            sp.add_argument("--damping", type=float, default=0.85)
+            sp.add_argument("--tol", type=float, default=1e-8)
+            sp.add_argument("--max-iters", type=int, default=200)
+            sp.add_argument("--directed", action="store_true")
+            sp.add_argument("--mode", default="auto",
+                            choices=["auto", "broadcast", "shuffle"])
+
+    sp = sub.add_parser("extract-cc")
+    sp.add_argument("--pages", required=True,
+                    help="pages parquet (url, warc_ts, html, text, lang)")
+    common(sp)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+    import pyarrow as pa  # noqa: F401  (fail fast when arrow is broken)
+
+    t0 = time.perf_counter()
+    summary: dict[str, object]
+
+    if args.cmd == "cc":
+        from linkgraph.cc import connected_components
+
+        res = connected_components(
+            _edges(args.edges, ["src", "dst"]),
+            num_partitions=args.num_partitions,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+        )
+        res.labels.write_parquet(args.output)
+        summary = {"cmd": "cc", "components": res.num_components,
+                   "rounds": res.num_iterations}
+    elif args.cmd == "labelprop":
+        from linkgraph.labelprop import label_propagation
+
+        res = label_propagation(
+            _edges(args.edges, ["src", "dst"]),
+            num_partitions=args.num_partitions,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+        )
+        res.labels.write_parquet(args.output)
+        summary = {"cmd": "labelprop", "components": res.num_components,
+                   "iterations": res.num_iterations}
+    elif args.cmd == "pagerank":
+        from linkgraph.pagerank import pagerank
+
+        res = pagerank(
+            _edges(args.edges, ["src", "dst"]),
+            directed=args.directed,
+            damping=args.damping,
+            tol=args.tol,
+            max_iters=args.max_iters,
+            num_partitions=args.num_partitions,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+            mode=args.mode,
+        )
+        res.ranks.write_parquet(args.output)
+        summary = {"cmd": "pagerank", "num_vertices": res.num_vertices,
+                   "iterations": res.num_iterations}
+    elif args.cmd == "triangles":
+        from linkgraph.triangles import triangle_count
+
+        n = triangle_count(
+            _edges(args.edges, ["src", "dst"]),
+            num_partitions=args.num_partitions,
+        )
+        import pyarrow as pa
+        import ray.data as rd
+
+        rd.from_arrow(
+            pa.table({"triangles": pa.array([n], pa.int64())})
+        ).write_parquet(args.output)
+        summary = {"cmd": "triangles", "triangles": n}
+    else:  # extract-cc
+        import ray.data as rd
+
+        from linkgraph.pipelines import pages_pipeline
+
+        res = pages_pipeline(
+            rd.read_parquet(args.pages),
+            num_partitions=args.num_partitions,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+        )
+        res.labels.write_parquet(args.output)
+        summary = {"cmd": "extract-cc", "components": res.num_components,
+                   "rounds": res.num_iterations}
+
+    summary["wall_s"] = round(time.perf_counter() - t0, 3)
+    summary["output"] = args.output
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

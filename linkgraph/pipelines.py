@@ -86,9 +86,20 @@ def flagship(sf_dir: str, num_partitions: int | None = None):
     return connected_components(edges, num_partitions=num_partitions)
 
 
-def pages_pipeline(pages: rd.Dataset, num_partitions: int | None = None):
+def pages_pipeline(
+    pages: rd.Dataset,
+    num_partitions: int | None = None,
+    checkpointer=None,
+    resume: bool = False,
+):
     """North-rule pipeline: pages → extract hrefs → id edges → CC labels."""
     url_edges = extract.pages_to_url_edges(pages)
     edges = extract.url_edges_to_ids(url_edges)
     verts = extract.url_id_map(pages).select_columns(["vertex"])
-    return connected_components(edges, vertices=verts, num_partitions=num_partitions)
+    return connected_components(
+        edges,
+        vertices=verts,
+        num_partitions=num_partitions,
+        checkpointer=checkpointer,
+        resume=resume,
+    )
