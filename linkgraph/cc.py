@@ -382,13 +382,36 @@ def connected_components(
 
 
 def count_components(labels: rd.Dataset, num_partitions: int | None = None) -> int:
-    """Distinct-label count (ref ``count_unique_labels``, ``src/cc_common.c:7-38``)."""
-    return (
+    """Distinct-label count (ref ``count_unique_labels``, ``src/cc_common.c:7-38``).
+
+    Block-local unique (combiner) → hash repartition by label → per-block
+    unique counts, summed — the partial/final distinct the reference's
+    thread-local hash sets implement (``src/cc_openmp.c:498-537``).
+    """
+    num_partitions = num_partitions or G.default_partitions()
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"label": pa.array([], pa.int64())})
+        return pa.table(
+            {"label": np.unique(t["label"].to_numpy(zero_copy_only=False))}
+        )
+
+    def count_uniq(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        u = np.unique(t["label"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([len(u)], pa.int64())})
+
+    parted = (
         labels.select_columns(["label"])
-        .groupby("label", num_partitions=num_partitions)
-        .aggregate(Count(alias_name="_n"))
-        .count()
+        .map_batches(uniq, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["label"])
     )
+    partials = parted.map_batches(
+        count_uniq, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return int(sum(r["n"] for r in partials))
 
 
 def sample_frequent_label(
