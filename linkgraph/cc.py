@@ -86,12 +86,19 @@ def _contract_batch(t: pa.Table) -> pa.Table:
     """Collapse one edge block to its spanning-forest pairs (root, child).
 
     root < child always (root is the component-min id within the block), so
-    output rows keep the canonical src<dst orientation.
+    output rows keep the canonical src<dst orientation.  Self-loop rows are
+    passed through as distinct ``(x, x)`` marker rows (the reference drops
+    self-loops from the adjacency, ``src/graph.c:71-73``, but still labels
+    the vertex — the marker keeps loop-only vertices in the vertex set
+    without a separate scan of the input).
     """
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
+    loop_ids = np.unique(src[src == dst])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
     if len(src) == 0:
-        return pa.table({"src": src, "dst": dst})
+        return pa.table({"src": loop_ids, "dst": loop_ids})
     ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     u, v = inv[: len(src)], inv[len(src) :]
     n = len(ids)
@@ -104,7 +111,12 @@ def _contract_batch(t: pa.Table) -> pa.Table:
     else:
         p = _local_components(u, v, n)
     child = np.nonzero(p != np.arange(n))[0]
-    return pa.table({"src": ids[p[child]], "dst": ids[child]})
+    return pa.table(
+        {
+            "src": np.concatenate([ids[p[child]], loop_ids]),
+            "dst": np.concatenate([ids[child], loop_ids]),
+        }
+    )
 
 
 def contract(edges: rd.Dataset, batch_size: int | None = None) -> rd.Dataset:
@@ -249,6 +261,26 @@ def _local_finish(
     return CCResult(labels, int(len(np.unique(labels_arr))), rounds, metrics)
 
 
+_EMPTY_LABELS = pa.table(
+    {"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+)
+
+
+def _strip_markers(t: pa.Table) -> pa.Table:
+    """Drop self-loop marker rows (src == dst) before a star superstep."""
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = s != d
+    return pa.table({"src": s[keep], "dst": d[keep]})
+
+
+def _only_markers(t: pa.Table) -> pa.Table:
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = s == d
+    return pa.table({"src": s[keep], "dst": d[keep]})
+
+
 def connected_components(
     edges: rd.Dataset,
     *,
@@ -258,7 +290,7 @@ def connected_components(
     resume: bool = False,
     max_rounds: int = 64,
     contract_batch_size: int | None = None,
-    local_finish_threshold: int = 200_000,
+    local_finish_threshold: int = 5_000_000,
 ) -> CCResult:
     """Min-id component labels for an (arbitrary, possibly dirty) edge table.
 
@@ -269,7 +301,10 @@ def connected_components(
     ``local_finish_threshold`` — once the contracted pair set has at most
     this many rows it is pulled to the driver and finished with the local
     union-find (0 disables).  Distributed rounds at that size are pure
-    fixed overhead; the threshold stays far below worker memory.
+    fixed overhead; the default (~80 MB of pairs) stays well inside the
+    same driver-memory envelope PageRank's broadcast mode uses — the
+    dataflow analogue of the reference's gather-everything Allgatherv
+    variants (``src/mpi/cc_mpi.c:388-571``).
     """
     from linkgraph.runtime import tune_context
 
@@ -290,31 +325,43 @@ def connected_components(
 
     if pairs is None:
         t0 = time.perf_counter()
-        canon = G.canonicalize(edges)
+        # orientation + block dedup only — self-loops flow into contract,
+        # which converts them to (x, x) marker rows so loop-only vertices
+        # stay in the vertex set without a second scan of the input
+        canon = G.dedup_block(G.orient_lo_hi(edges))
         pairs = ckpt.save(0, contract(canon, contract_batch_size), {"phase": "contract"})
         metrics.append({"phase": "contract", "wall_s": time.perf_counter() - t0})
         start_round = 1
 
-    fp = G.fingerprint(pairs)
+    n_clean, h0, n_loops = G.fingerprint_and_loops(pairs)
+    fp = (n_clean, h0)
     rounds = 0
-    if fp[0] == 0:
-        start_round = max_rounds = 0  # empty edge set: labels = identity
-    if verts is None and 0 < fp[0] <= local_finish_threshold:
+    if n_clean + n_loops == 0:
+        start_round = max_rounds = 0  # empty edge set
+    if verts is None and 0 < n_clean + n_loops <= local_finish_threshold:
         return _local_finish(pairs, rounds, metrics)
     for r in range(start_round, start_round + max_rounds):
         t0 = time.perf_counter()
-        # repartition: map_groups output fragments into many tiny blocks;
-        # left unchecked, block count compounds per round and shuffle
-        # overhead explodes (measured 2s → 160s/round by round 2)
-        ls = G.dedup_block(large_star(pairs, num_partitions))
-        ss = G.dedup_block(small_star(ls, num_partitions)).repartition(num_partitions)
+        clean = pairs if n_loops == 0 else pairs.map_batches(
+            _strip_markers, batch_format="pyarrow"
+        )
+        # keyed repartitions inside the stars also re-coalesce blocks each
+        # round — without that, block fragmentation compounds per round and
+        # shuffle overhead explodes (measured 2s → 160s/round by round 2)
+        ls = G.dedup_block(large_star(clean, num_partitions))
+        ss = G.dedup_block(small_star(ls, num_partitions))
+        if n_loops:
+            # marker rows ride along in every checkpoint (but not through
+            # the stars) so resume + finalization keep loop-only vertices
+            ss = ss.union(pairs.map_batches(_only_markers, batch_format="pyarrow"))
         pairs = ckpt.save(r, ss, {"phase": "star", "round": r})
-        new_fp = G.fingerprint(pairs)
+        n_clean, h, n_loops = G.fingerprint_and_loops(pairs)
+        new_fp = (n_clean, h)
         rounds += 1
         m = {
             "phase": "star",
             "round": r,
-            "pairs": new_fp[0],
+            "pairs": n_clean + n_loops,
             "wall_s": time.perf_counter() - t0,
             "changed": int(new_fp != fp),
         }
@@ -322,16 +369,23 @@ def connected_components(
         if new_fp == fp:
             break
         fp = new_fp
-        if verts is None and 0 < fp[0] <= local_finish_threshold:
+        if verts is None and 0 < n_clean + n_loops <= local_finish_threshold:
             return _local_finish(pairs, rounds, metrics)
     else:
         if max_rounds > 0:
             raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
 
-    # labels: star children get their root; roots/isolated get themselves
+    # Finalization. At the star fixed point every component is a single
+    # star of (root, child) rows with each child appearing exactly once
+    # globally (Kiveris et al.), so child labels need NO shuffle — only the
+    # root identity rows (duplicated across blocks) and self-loop markers
+    # (possibly shadowed by a real pair elsewhere) go through a small
+    # per-vertex min shuffle.
     t0 = time.perf_counter()
-    as_labels = pairs.map_batches(
-        lambda t: pa.table({"vertex": t["dst"], "label": t["src"]}),
+    children = pairs.map_batches(
+        lambda t: pa.table({"vertex": t["dst"], "label": t["src"]})
+        if len(t)
+        else _EMPTY_LABELS,
         batch_format="pyarrow",
     )
     if verts is not None:
@@ -340,25 +394,17 @@ def connected_components(
             batch_format="pyarrow",
         )
     else:
-        # every edge endpoint as (v, v) — duplicates are fine, the
-        # per-vertex min below combines them; this avoids a distinct-vertex
-        # shuffle (vertices_of) that cost more than all star rounds together
-        def endpoint_identity(t: pa.Table) -> pa.Table:
+
+        def root_identity(t: pa.Table) -> pa.Table:
             s = t["src"].to_numpy(zero_copy_only=False)
-            d = t["dst"].to_numpy(zero_copy_only=False)
-            v = np.concatenate([s, d])
+            v = np.unique(s)
             return pa.table({"vertex": v, "label": v})
 
-        identity = edges.map_batches(endpoint_identity, batch_format="pyarrow")
+        identity = pairs.map_batches(root_identity, batch_format="pyarrow")
 
     def label_min_block(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
-            return pa.table(
-                {
-                    "vertex": pa.array([], pa.int64()),
-                    "label": pa.array([], pa.int64()),
-                }
-            )
+            return _EMPTY_LABELS
         v = t["vertex"].to_numpy(zero_copy_only=False)
         l = t["label"].to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
@@ -368,15 +414,39 @@ def connected_components(
             {"vertex": v[starts], "label": np.minimum.reduceat(l, starts)}
         )
 
-    labels = (
-        as_labels.union(identity)
-        .repartition(num_partitions, keys=["vertex"])
-        .map_batches(label_min_block, batch_format="pyarrow", batch_size=None)
-    )
-    labels = labels.materialize()
+    if verts is None and n_loops == 0:
+        # fast path: children rows are already one-per-vertex and disjoint
+        # from roots; only the root identities (≤ blocks × roots rows) and
+        # any marker rows shuffle
+        resolved = (
+            identity.repartition(num_partitions, keys=["vertex"])
+            .map_batches(label_min_block, batch_format="pyarrow", batch_size=None)
+        )
+        labels = children.union(resolved).materialize()
+    else:
+        # markers / explicit vertex set can collide with child rows — one
+        # per-vertex min shuffle over ~V rows resolves every duplicate
+        labels = (
+            children.union(identity)
+            .repartition(num_partitions, keys=["vertex"])
+            .map_batches(label_min_block, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
     metrics.append({"phase": "labels", "wall_s": time.perf_counter() - t0})
+
+    # roots are exactly the rows with vertex == label → component count
+    # needs no distinct-label shuffle (ref ``count_unique_labels`` semantics)
     t0 = time.perf_counter()
-    num_components = count_components(labels, num_partitions)
+
+    def root_count(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        l = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((v == l).sum())], pa.int64())})
+
+    partials = labels.map_batches(root_count, batch_format="pyarrow").take_all()
+    num_components = int(sum(r["n"] for r in partials))
     metrics.append({"phase": "count", "wall_s": time.perf_counter() - t0})
     return CCResult(labels, num_components, rounds, metrics)
 

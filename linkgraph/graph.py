@@ -241,6 +241,35 @@ def _fp_batch(t: pa.Table) -> pa.Table:
     return pa.table({"n": pa.array([len(t)], pa.int64()), "h": pa.array([h], pa.uint64())})
 
 
+def _fp_loops_batch(t: pa.Table) -> pa.Table:
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    loops = src == dst
+    s, d = src[~loops], dst[~loops]
+    with np.errstate(over="ignore"):
+        h = int(_mix64(s, d).sum(dtype=np.uint64))
+    return pa.table(
+        {
+            "n": pa.array([len(s)], pa.int64()),
+            "h": pa.array([h], pa.uint64()),
+            "loops": pa.array([int(loops.sum())], pa.int64()),
+        }
+    )
+
+
+def fingerprint_and_loops(edges: rd.Dataset) -> tuple[int, int, int]:
+    """Like :func:`fingerprint` but over non-loop rows only, plus the count of
+    self-loop (``src == dst``) rows — one pass serves both the convergence
+    test and the loop-vertex fast-path decision in ``cc``."""
+    partials = edges.map_batches(_fp_loops_batch, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in partials)
+    loops = sum(p["loops"] for p in partials)
+    h = 0
+    for p in partials:
+        h = (h + int(p["h"])) % (1 << 64)
+    return n, h, loops
+
+
 def fingerprint(edges: rd.Dataset) -> tuple[int, int]:
     """Order-independent multiset fingerprint: (row count, sum of mix64(src,dst)).
 

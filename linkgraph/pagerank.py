@@ -79,6 +79,57 @@ _EMPTY_DEG = pa.table(
 )
 
 
+def _dedup_sorted_dst_block(t: pa.Table) -> pa.Table:
+    """Whole-block (dst-partitioned, symmetrized): global dedup, sorted by
+    (dst, src).
+
+    All copies of an incidence (·, v) land in the block owning dst=v, so
+    block-local adjacent-dedup IS global dedup; the per-dst segment length
+    IS the (undirected) degree of v; and the (dst, src) sort order is baked
+    in once so broadcast supersteps never re-sort.
+    """
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_EDGES_SD
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((s, d))  # dst primary, src secondary
+    s, d = s[order], d[order]
+    keep = np.empty(len(s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    return pa.table({"src": s[keep], "dst": d[keep]})
+
+
+_EMPTY_EDGES_SD = pa.table(
+    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+)
+_EMPTY_DEG_SD = pa.table(
+    {"vertex": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+)
+
+
+def _deg_dst_block(t: pa.Table) -> pa.Table:
+    """(vertex, degree) from a dst-sorted dst-partitioned block — global
+    because dst values are block-disjoint."""
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_DEG_SD
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    change[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(d)))
+    return pa.table({"vertex": d[starts], "degree": counts})
+
+
+def _count_dst_block(t: pa.Table) -> pa.Table:
+    if t.num_columns == 0 or len(t) == 0:
+        return pa.table({"n": pa.array([], pa.int64())})
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    n = 1 + int((d[1:] != d[:-1]).sum())
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
 def _weight_block(t: pa.Table) -> pa.Table:
     """Whole-block (src-partitioned, symmetrized): dedup + degree + 1/deg.
 
@@ -171,27 +222,39 @@ def pagerank(
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
 
-    # undirected + implicit vertex set: ONE shuffle builds the weighted edge
-    # table (see _weight_block) and the degree table falls out shuffle-free
+    # undirected + implicit vertex set: ONE dst-keyed shuffle builds the
+    # deduped (dst, src)-sorted incidence table; degrees, the vertex count,
+    # and the broadcast-mode gather index all fall out of it shuffle-free
     fast_undirected = not directed and vertices is None
-    if fast_undirected:
+    if fast_undirected and mode in ("auto", "broadcast"):
         sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-        weighted_src = (
-            sym.repartition(num_partitions, keys=["src"])
-            .map_batches(_weight_block, batch_format="pyarrow", batch_size=None)
+        parted = (
+            sym.repartition(num_partitions, keys=["dst"])
+            .map_batches(
+                _dedup_sorted_dst_block, batch_format="pyarrow", batch_size=None
+            )
             .materialize()
         )
-        # re-key the static table by dst: broadcast-mode supersteps emit
-        # per-block (dst, contrib) partials, and dst-disjoint blocks make
-        # those partials globally disjoint — the driver combine then pulls
-        # exactly num_v rows instead of ~num_blocks × num_v overlapping ones
-        weighted = (
-            weighted_src.repartition(num_partitions, keys=["dst"])
-            .map_batches(
-                lambda t: t if t.num_columns else _EMPTY_WEIGHTED,
-                batch_format="pyarrow",
-                batch_size=None,
+        num_v = int(
+            sum(
+                r["n"]
+                for r in parted.map_batches(
+                    _count_dst_block, batch_format="pyarrow", batch_size=None
+                ).take_all()
             )
+        )
+        if mode == "broadcast" or num_v <= BROADCAST_MAX_VERTICES:
+            return _pagerank_broadcast_indexed(
+                parted, num_v, ckpt, damping, tol, max_iters,
+                checkpointer, checkpoint_every, resume,
+            )
+        mode = "shuffle"  # auto resolved: rank vector too big to broadcast
+    if fast_undirected:
+        # shuffle-mode prep (>50M vertices): src-keyed weighted edge table
+        sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
+        weighted_src = weighted = (
+            sym.repartition(num_partitions, keys=["src"])
+            .map_batches(_weight_block, batch_format="pyarrow", batch_size=None)
             .materialize()
         )
         deg = None
@@ -418,6 +481,156 @@ def _partial_by_dst(dst: np.ndarray, c: np.ndarray) -> pa.Table:
             "outdeg": np.full(len(uniq), -1, dtype=np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# broadcast mode, indexed (fast_undirected path)
+# ---------------------------------------------------------------------------
+
+def _pagerank_broadcast_indexed(
+    parted: rd.Dataset,
+    num_v: int,
+    ckpt: Checkpointer,
+    damping: float,
+    tol: float,
+    max_iters: int,
+    checkpointer: Checkpointer | None,
+    checkpoint_every: int,
+    resume: bool,
+) -> PageRankResult:
+    """Broadcast mode over a pre-indexed incidence table.
+
+    ``parted`` is the dst-keyed, (dst, src)-sorted, globally-deduped
+    symmetric incidence table.  A one-time pass converts (src, dst) into
+    int32 positions in the sorted vertex-id vector, so every superstep is a
+    single distributed map (vectorized gather + segment ``reduceat`` — no
+    sort, no searchsorted) plus a driver combine over globally-disjoint
+    per-block partials.  The dataflow analogue of the reference's
+    full-Allgatherv label exchange (``src/mpi/cc_mpi.c:388-571``) with the
+    rank vector in the role of the gathered state.  Post-symmetrize every
+    vertex has degree ≥ 1, so the dangling mass is identically zero.
+    """
+    metrics: list[dict[str, Any]] = []
+    t0 = time.perf_counter()
+    start = 1
+    state_loaded = False
+    ids = ranks = outdeg = None
+    if resume and checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            it0, state, meta = latest
+            ids, ranks, outdeg = _pull_columns(state, ["vertex", "rank", "outdeg"])
+            order = np.argsort(ids, kind="stable")
+            ids, ranks, outdeg = ids[order], np.asarray(ranks)[order], outdeg[order]
+            start = it0 + 1
+            metrics.append(meta)
+            state_loaded = True
+    if not state_loaded:
+        vid, degv = _pull_columns(
+            parted.map_batches(_deg_dst_block, batch_format="pyarrow", batch_size=None),
+            ["vertex", "degree"],
+        )
+        order = np.argsort(vid, kind="stable")
+        ids, outdeg = vid[order], np.asarray(degv)[order]
+        ranks = np.full(num_v, 1.0 / num_v) if num_v else np.empty(0)
+        if checkpointer is not None:
+            ckpt.save(
+                0,
+                _vector_state_ds(ids, ranks, outdeg),
+                {"phase": "init", "num_vertices": num_v, "dangling_mass": 0.0},
+            )
+    if num_v == 0:
+        empty = rd.from_arrow(
+            pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+        return PageRankResult(empty, 0, 0, metrics)
+    inv = 1.0 / outdeg  # degree ≥ 1 everywhere post-symmetrize
+
+    use32 = num_v <= np.iinfo(np.int32).max
+    idx_t = pa.int32() if use32 else pa.int64()
+    empty_idx = pa.table({"i_src": pa.array([], idx_t), "i_dst": pa.array([], idx_t)})
+    ref_ids = ray.put(ids)
+
+    def index_block(t: pa.Table, ref=ref_ids, empty=empty_idx, use32=use32) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        ids_ = ray.get(ref)
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        dt = np.int32 if use32 else np.int64
+        return pa.table(
+            {
+                "i_src": np.searchsorted(ids_, s).astype(dt),
+                "i_dst": np.searchsorted(ids_, d).astype(dt),
+            }
+        )
+
+    index = parted.map_batches(
+        index_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    metrics.append(
+        {"phase": "prep", "num_vertices": num_v, "wall_s": time.perf_counter() - t0}
+    )
+
+    _empty_contrib = pa.table(
+        {"i": pa.array([], pa.int64()), "contrib": pa.array([], pa.float64())}
+    )
+    iters = 0
+    for it in range(start, start + max_iters):
+        t0 = time.perf_counter()
+        ref = ray.put(ranks * inv)
+
+        def emit(t: pa.Table, ref=ref) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _empty_contrib
+            w = ray.get(ref)
+            i_s = t["i_src"].to_numpy(zero_copy_only=False)
+            i_d = t["i_dst"].to_numpy(zero_copy_only=False)
+            c = w[i_s]
+            change = np.empty(len(i_d), dtype=bool)
+            change[0] = True
+            np.not_equal(i_d[1:], i_d[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            return pa.table(
+                {
+                    "i": i_d[starts].astype(np.int64),
+                    "contrib": np.add.reduceat(c, starts),
+                }
+            )
+
+        contrib = np.zeros(num_v)
+        # per-block partials are globally disjoint (dst-keyed blocks) →
+        # exact deterministic combine by direct indexed assignment
+        for b in index.map_batches(
+            emit, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            contrib[b["i"].to_numpy(zero_copy_only=False)] = b["contrib"].to_numpy(
+                zero_copy_only=False
+            )
+        r_new = (1.0 - damping) / num_v + damping * contrib
+        delta = float(np.abs(r_new - ranks).sum())
+        ranks = r_new
+        iters += 1
+        converged = tol > 0 and delta < tol
+        if checkpointer is not None and (converged or it % checkpoint_every == 0):
+            ckpt.save(
+                it,
+                _vector_state_ds(ids, ranks, outdeg),
+                {"phase": "superstep", "iteration": it, "num_vertices": num_v,
+                 "dangling_mass": 0.0, "l1_delta": delta},
+            )
+        metrics.append(
+            {"iteration": it, "l1_delta": delta, "dangling_mass": 0.0,
+             "mode": "broadcast", "wall_s": time.perf_counter() - t0}
+        )
+        if converged:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(f"pagerank exceeded {max_iters} iterations")
+
+    out = _vector_state_ds(ids, ranks, outdeg).select_columns(["vertex", "rank"])
+    return PageRankResult(out.materialize(), num_v, iters, metrics)
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,23 @@ def test_pagerank_undirected_mode():
     assert np.allclose(got, exp, atol=1e-6)
 
 
+def test_pagerank_undirected_implicit_vertices_indexed_broadcast():
+    # the fast_undirected path (bench headline config): one dst-keyed
+    # shuffle + int32-indexed broadcast supersteps
+    edges, _ = synth.make_planted_graph(400, 4, 5, seed=31)
+    res = pagerank(G.from_arrow_edges(edges), directed=False, num_partitions=4, tol=1e-12)
+    assert res.metrics[-1]["mode"] == "broadcast"
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    exp = oracle.pagerank(
+        np.concatenate([src, dst]), np.concatenate([dst, src]), 400
+    )
+    got = ranks_vec(res.ranks, 400)
+    assert res.num_vertices == 400
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
 def test_pagerank_deterministic_across_partitioning():
     edges, _ = synth.make_planted_graph(300, 3, 4, seed=23)
     a = pagerank(G.from_arrow_edges(edges).repartition(2), num_partitions=2, tol=1e-10)
