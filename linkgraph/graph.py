@@ -73,25 +73,32 @@ def dedup_block(edges: rd.Dataset) -> rd.Dataset:
 
 
 def dedup_edges(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
-    """Exact global dedup: block combiner + one hash repartition by (src, dst).
+    """Exact global dedup: block combiner + one range exchange by (src, dst).
 
-    Co-located key pairs make the per-block dedup global — measured ~5x
-    faster than the ``groupby().aggregate(Count)`` hash-aggregate path.
+    All copies of an exact (src, dst) pair compare equal on the full sort
+    key, so the range partitioner co-locates them and a per-block
+    adjacent-keep mask over the pre-sorted rows is a global dedup —
+    measured far faster than both the ``groupby().aggregate`` hash
+    aggregate and the keyed hash repartition on small fixed-width rows.
     """
-    num_partitions = num_partitions or default_partitions()
-    parted = dedup_block(edges).repartition(num_partitions, keys=["src", "dst"])
-    return parted.map_batches(_dedup_guarded, batch_format="pyarrow", batch_size=None)
+    parted = dedup_block(edges).sort(["src", "dst"])
+    return parted.map_batches(_dedup_sorted, batch_format="pyarrow", batch_size=None)
+
+
+def _dedup_sorted(t: pa.Table) -> pa.Table:
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_EDGE_TABLE
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    return pa.table({"src": s[keep], "dst": d[keep]})
 
 
 _EMPTY_EDGE_TABLE = pa.table(
     {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
 )
-
-
-def _dedup_guarded(t: pa.Table) -> pa.Table:
-    if t.num_columns == 0 or len(t) == 0:
-        return _EMPTY_EDGE_TABLE
-    return _dedup_batch(t)
 
 
 def canonicalize(edges: rd.Dataset, global_dedup: bool = False) -> rd.Dataset:
@@ -145,10 +152,8 @@ def out_degrees(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Data
             return pa.table(
                 {"vertex": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
             )
-        v = t["vertex"].to_numpy(zero_copy_only=False)
+        v = t["vertex"].to_numpy(zero_copy_only=False)  # pre-sorted
         d = t["degree"].to_numpy(zero_copy_only=False)
-        order = np.argsort(v, kind="stable")
-        v, d = v[order], d[order]
         change = np.empty(len(v), dtype=bool)
         change[0] = True
         np.not_equal(v[1:], v[:-1], out=change[1:])
@@ -157,9 +162,9 @@ def out_degrees(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Data
             {"vertex": v[starts], "degree": np.add.reduceat(d, starts)}
         )
 
-    # block-local partial counts (combiner) → one hash repartition → final
+    # block-local partial counts (combiner) → one range exchange → final
     partials = edges.map_batches(partial, batch_format="pyarrow")
-    parted = partials.repartition(num_partitions, keys=["vertex"])
+    parted = partials.sort("vertex")
     return parted.map_batches(combine, batch_format="pyarrow", batch_size=None)
 
 
@@ -188,7 +193,7 @@ def vertices_of(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Data
         )
 
     flat = edges.map_batches(_vertex_batch, batch_format="pyarrow")
-    parted = flat.repartition(num_partitions, keys=["vertex"])
+    parted = flat.sort("vertex")
     return parted.map_batches(uniq, batch_format="pyarrow", batch_size=None)
 
 

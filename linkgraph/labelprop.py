@@ -215,7 +215,9 @@ def _labelprop_broadcast(
     import ray
 
     sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-    edges_dst = sym.repartition(num_partitions, keys=["dst"]).materialize()
+    # range exchange: equal dst values co-locate and arrive pre-sorted, so
+    # per-block candidate minima are global and emit needs no re-sort
+    edges_dst = sym.sort("dst").materialize()
 
     def uniq_dst(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
@@ -281,10 +283,8 @@ def _labelprop_broadcast(
                 )
             ids_, lab_ = ray.get(ref)
             s = t["src"].to_numpy(zero_copy_only=False)
-            d = t["dst"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)  # pre-sorted
             c = lab_[np.searchsorted(ids_, s)]
-            order = np.argsort(d, kind="stable")
-            d, c = d[order], c[order]
             change = np.empty(len(d), dtype=bool)
             change[0] = True
             np.not_equal(d[1:], d[:-1], out=change[1:])
