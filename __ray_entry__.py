@@ -100,6 +100,15 @@ def _simhash_dedup(sf_dir: str):
     return dedup.simhash_dedup(docs, hamming_k=3, num_partitions=8)
 
 
+def _ngram_jaccard_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from linkgraph import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_dedup(docs, threshold=0.6, num_partitions=8)
+
+
 def _embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -197,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators (rows-only; property-tested in tests/)
         "minhash_dedup": _minhash_dedup,
         "simhash_dedup": _simhash_dedup,
+        "ngram_jaccard_dedup": _ngram_jaccard_dedup,
         "embedding_neardup": _embedding_neardup,
         "knn_ivf": _knn_ivf,
         "quality_scores": _quality_scores,

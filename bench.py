@@ -19,6 +19,11 @@ import subprocess
 import sys
 import time
 
+# must precede ray.init so every worker inherits it: large numpy
+# allocations otherwise madvise(HUGEPAGE) and stall seconds per block on
+# kernels with THP defrag=madvise (see linkgraph/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 
 def _planted_parquet(n_vertices: int, n_components: int, epv: int, seed: int) -> str:
     """Write (once) and return the cached planted-graph parquet path."""

@@ -16,6 +16,24 @@ whose per-vertex state lives exclusively in hash-partitioned Datasets —
 never in driver memory.
 """
 
+import os as _os
+
+# Large numpy allocations (≥4 MB) madvise(MADV_HUGEPAGE); with kernel THP
+# defrag=madvise that triggers SYNCHRONOUS page compaction on first touch —
+# measured 6-17 s for a single 50 MB temporary on this host (vs 0.05 s
+# without), stalling every block emit and driver combine.  Disable it in
+# this process (runtime switch) and in children (env var — Ray workers
+# inherit it via the raylet when the driver sets it before ray.init; they
+# also run this module import, so the runtime switch covers them even when
+# Ray was initialised first).
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # numpy 1.18-1.26 private-but-stable API; numpy 2.x moved np.core
+    import numpy as _np
+
+    _np.core.multiarray._set_madvise_hugepage(False)
+except Exception:
+    pass
+
 from linkgraph import schemas  # noqa: F401
 from linkgraph.runtime import tune_context as _tune_context
 

@@ -15,6 +15,9 @@ for clustering — the engine's own flagship kernel closes the dedup loop.
 - ``simhash_dedup`` — 64-bit simhash per doc; block-permutation candidate
   generation (two docs within Hamming distance k share one of k+1 blocks);
   exact Hamming verification; connected components.
+- ``ngram_jaccard_dedup`` — hashed n-gram sets per doc (bottom-k capped);
+  smallest-hash anchors → star candidates → exact/bottom-k Jaccard
+  verification over the real sets; connected components.
 - ``embedding_neardup`` — random-hyperplane LSH over an embedding column →
   bucket candidates → exact cosine verification → connected components.
 
@@ -554,6 +557,160 @@ def embedding_neardup(
         nb[nb == 0] = 1.0
         cos = (va * vb).sum(axis=1) / (na * nb)
         keep = cos >= threshold
+        return pa.table(
+            {
+                "src": t["a"].to_numpy(zero_copy_only=False)[keep],
+                "dst": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    verified = both.map_batches(verify, batch_format="pyarrow")
+    res = connected_components(verified, num_partitions=num_partitions)
+    return _clusters_from_labels(res.labels, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity; bottom-k estimator past the cap)
+# ---------------------------------------------------------------------------
+
+class NgramSetHasher:
+    """Actor-pool stage: (doc_id, text) → (doc_id, ngrams list<int64>).
+
+    Emits each document's sorted distinct hashed character n-gram set,
+    deterministically truncated to the ``max_set`` *smallest* hashes (a
+    bottom-k sketch — hashes are uniform, so the smallest k are a uniform
+    sample; docs under the cap carry their exact set)."""
+
+    def __init__(self, n: int = 5, max_set: int = 4096):
+        self.n = n
+        self.max_set = max_set
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sets = []
+        for s in t["text"].to_pylist():
+            sh = np.sort(_char_shingles(s, self.n).astype(np.int64))
+            sets.append(sh[: self.max_set])
+        return pa.table(
+            {"doc_id": t["doc_id"], "ngrams": pa.array(sets, pa.list_(pa.int64()))}
+        )
+
+
+def _bottom_anchor_rows(t: pa.Table, k_anchor: int) -> pa.Table:
+    """Explode each doc's ``k_anchor`` smallest n-gram hashes as candidate
+    anchors — for Jaccard ≥ J the union's min-hash lands in the intersection
+    with probability J, so near-dup pairs share an anchor with probability
+    ≥ 1-(1-J)^k.  Output reuses the (band, bh, doc_id) star bucket layout
+    (band fixed at 0)."""
+    if t.num_columns == 0 or len(t) == 0:
+        return pa.table(
+            {
+                "band": pa.array([], pa.int64()),
+                "bh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out_h, out_i = [], []
+    for i, g in enumerate(t["ngrams"].to_pylist()):
+        a = np.asarray(g[:k_anchor], dtype=np.int64)
+        out_h.append(a)
+        out_i.append(np.full(len(a), ids[i], dtype=np.int64))
+    h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "band": np.zeros(len(h), dtype=np.int64),
+            "bh": h,
+            "doc_id": np.concatenate(out_i) if out_i else np.empty(0, np.int64),
+        }
+    )
+
+
+def ngram_jaccard_dedup(
+    ds: rd.Dataset,
+    *,
+    n: int = 5,
+    threshold: float = 0.8,
+    k_anchor: int = 16,
+    max_set: int = 4096,
+    num_partitions: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Near-dup clusters by n-gram set Jaccard: (doc_id, cluster_id).
+
+    Unlike ``minhash_lsh_dedup`` (signature-estimated Jaccard), verification
+    here runs over the documents' actual hashed n-gram sets: exact for docs
+    under ``max_set`` distinct n-grams, the standard bottom-k estimator over
+    the union's ``max_set`` smallest hashes beyond it.  Candidate generation
+    is the shared star-bucket pass keyed by each doc's ``k_anchor`` smallest
+    n-gram hashes.  SURVEY.md §2.7 set-similarity family.
+    """
+    sets = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            NgramSetHasher,
+            fn_constructor_kwargs={"n": n, "max_set": max_set},
+            batch_format="pyarrow",
+            concurrency=resolve_concurrency(concurrency),
+        )
+        .materialize()
+    )
+
+    cand = _star_candidates(
+        sets.map_batches(
+            lambda t: _bottom_anchor_rows(t, k_anchor), batch_format="pyarrow"
+        ),
+        num_partitions,
+    )
+    cand = G.dedup_block(cand)
+
+    set_type = pa.list_(pa.int64())
+    with_a = bucket_join(
+        cand.map_batches(
+            lambda t: pa.table({"doc_id": t["src"], "other": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        sets,
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"other": pa.int64()},
+        right_payload={"ngrams": set_type},
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["doc_id"], "doc_id": t["other"], "set_a": t["ngrams"]}
+        ),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        with_a,
+        sets.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "set_b": t["ngrams"]}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"a": pa.int64(), "set_a": set_type},
+        right_payload={"set_b": set_type},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+            )
+        keep = np.empty(len(t), dtype=bool)
+        sa = t["set_a"].to_pylist()
+        sb = t["set_b"].to_pylist()
+        for i in range(len(t)):
+            a = np.asarray(sa[i], dtype=np.int64)
+            b = np.asarray(sb[i], dtype=np.int64)
+            u = np.union1d(a, b)[:max_set]  # sorted; bottom-k of the union
+            if len(u) == 0:
+                keep[i] = False
+                continue
+            both_in = np.isin(u, a, assume_unique=True) & np.isin(
+                u, b, assume_unique=True
+            )
+            keep[i] = both_in.sum() / len(u) >= threshold
         return pa.table(
             {
                 "src": t["a"].to_numpy(zero_copy_only=False)[keep],

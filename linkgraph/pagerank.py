@@ -533,6 +533,8 @@ def _pagerank_broadcast_indexed(
             parted.map_batches(_deg_dst_block, batch_format="pyarrow", batch_size=None),
             ["vertex", "degree"],
         )
+        t_deg = time.perf_counter()
+        metrics.append({"phase": "prep_deg_pull", "wall_s": t_deg - t0})
         order = np.argsort(vid, kind="stable")
         ids, outdeg = vid[order], np.asarray(degv)[order]
         ranks = np.full(num_v, 1.0 / num_v) if num_v else np.empty(0)
@@ -542,6 +544,9 @@ def _pagerank_broadcast_indexed(
                 _vector_state_ds(ids, ranks, outdeg),
                 {"phase": "init", "num_vertices": num_v, "dangling_mass": 0.0},
             )
+        metrics.append(
+            {"phase": "prep_ckpt0", "wall_s": time.perf_counter() - t_deg}
+        )
     if num_v == 0:
         empty = rd.from_arrow(
             pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
@@ -549,6 +554,7 @@ def _pagerank_broadcast_indexed(
         return PageRankResult(empty, 0, 0, metrics)
     inv = 1.0 / outdeg  # degree ≥ 1 everywhere post-symmetrize
 
+    t_idx0 = time.perf_counter()
     use32 = num_v <= np.iinfo(np.int32).max
     idx_t = pa.int32() if use32 else pa.int64()
     empty_idx = pa.table({"i_src": pa.array([], idx_t), "i_dst": pa.array([], idx_t)})
@@ -571,6 +577,9 @@ def _pagerank_broadcast_indexed(
     index = parted.map_batches(
         index_block, batch_format="pyarrow", batch_size=None
     ).materialize()
+    metrics.append(
+        {"phase": "prep_index", "wall_s": time.perf_counter() - t_idx0}
+    )
     metrics.append(
         {"phase": "prep", "num_vertices": num_v, "wall_s": time.perf_counter() - t0}
     )
@@ -601,6 +610,7 @@ def _pagerank_broadcast_indexed(
                 }
             )
 
+        t_put = time.perf_counter()
         contrib = np.zeros(num_v)
         # per-block partials are globally disjoint (dst-keyed blocks) →
         # exact deterministic combine by direct indexed assignment
@@ -610,6 +620,7 @@ def _pagerank_broadcast_indexed(
             contrib[b["i"].to_numpy(zero_copy_only=False)] = b["contrib"].to_numpy(
                 zero_copy_only=False
             )
+        t_pull = time.perf_counter()
         r_new = (1.0 - damping) / num_v + damping * contrib
         delta = float(np.abs(r_new - ranks).sum())
         ranks = r_new
@@ -624,7 +635,8 @@ def _pagerank_broadcast_indexed(
             )
         metrics.append(
             {"iteration": it, "l1_delta": delta, "dangling_mass": 0.0,
-             "mode": "broadcast", "wall_s": time.perf_counter() - t0}
+             "mode": "broadcast", "wall_s": time.perf_counter() - t0,
+             "put_s": t_put - t0, "exec_s": t_pull - t_put}
         )
         if converged:
             break

@@ -5,6 +5,9 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# before ray.init so workers inherit it (see linkgraph/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():

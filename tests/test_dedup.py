@@ -85,3 +85,25 @@ def test_embedding_neardup():
     clusters = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
     assert clusters.get(0) == 0 and clusters.get(1) == 0
     assert 2 not in clusters and 3 not in clusters
+
+
+def test_ngram_jaccard_dedup():
+    near = BASE.replace("morning", "evening")  # one-word edit, high Jaccard
+    texts = [BASE, near, "completely different text about graphs and rays " * 3,
+             "another unrelated document mentioning arrow tables and batches"]
+    out = dedup.ngram_jaccard_dedup(
+        rd.from_arrow(docs_table(texts)), threshold=0.6, num_partitions=2
+    )
+    clusters = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert clusters.get(0) == 0 and clusters.get(1) == 0
+    assert 2 not in clusters and 3 not in clusters
+
+
+def test_ngram_jaccard_exact_values():
+    # identical docs → Jaccard 1.0; survives any threshold
+    texts = [BASE, BASE, "something else entirely different here today"]
+    out = dedup.ngram_jaccard_dedup(
+        rd.from_arrow(docs_table(texts)), threshold=0.99, num_partitions=2
+    )
+    clusters = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert clusters == {0: 0, 1: 0}
