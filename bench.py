@@ -133,14 +133,25 @@ def run_bench() -> dict:
         / queries["pagerank"],
     }
 
-    # --- extraction → CC on synthetic pages (north-rule pipeline) ---
+    # --- extraction → CC on synthetic pages (north-rule pipeline);
+    # fixture generation is cached parquet OUTSIDE the timed region (it is
+    # a driver-side Python loop, not part of the pipeline under test), and
+    # sized so the actor-pool spin-up amortizes into steady-state
+    # extraction throughput ---
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "12000"))
+    pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
+    if not os.path.exists(pages_path):
+        import pyarrow.parquet as pq
+
+        pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
+        pq.write_table(pages, pages_path, row_group_size=1 << 10)
     t0 = time.perf_counter()
-    pages, _, _ = synth.make_pages(2000, seed=42, num_components=8)
     pres = pages_pipeline(
-        rd.from_arrow(pages).repartition(num_cpus), num_partitions=num_partitions
+        rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),
+        num_partitions=num_partitions,
     )
     queries["extract_cc"] = time.perf_counter() - t0
-    detail["extract_cc"] = {"components": pres.num_components}
+    detail["extract_cc"] = {"components": pres.num_components, "pages": n_pages}
 
     # --- relational headline (Q1-shaped aggregate) ---
     t0 = time.perf_counter()

@@ -336,7 +336,8 @@ def connected_components(
         start_round = 1
 
     n_clean, h0, n_loops = G.fingerprint_and_loops(pairs)
-    fp = (n_clean, h0)
+    prev_hash: int | None = h0  # multiset hash of ALL rows (markers included)
+    prev_pairs = pairs
     rounds = 0
     if n_clean + n_loops == 0:
         start_round = max_rounds = 0  # empty edge set
@@ -357,20 +358,36 @@ def connected_components(
             # the stars) so resume + finalization keep loop-only vertices
             ss = ss.union(pairs.map_batches(_only_markers, batch_format="pyarrow"))
         pairs = ckpt.save(r, ss, {"phase": "star", "round": r})
-        n_clean, h, n_loops = G.fingerprint_and_loops(pairs)
-        new_fp = (n_clean, h)
+        # convergence test, count-gated: row count is free block metadata on
+        # the materialized/persisted pairs (markers are a constant multiset,
+        # so n_loops never changes); the content hash — an extra execution —
+        # runs only in rounds where the count stopped changing.  The hash
+        # compare is over ALL rows, the same order-independent multiset
+        # fingerprint as before (ref Allreduce changed-flag,
+        # ``src/mpi/cc_mpi.c:518-525``).
+        n_clean_new = pairs.count() - n_loops
+        converged = False
+        if n_clean_new == n_clean:
+            if prev_hash is None:
+                _, prev_hash = G.fingerprint(prev_pairs)
+            _, h = G.fingerprint(pairs)
+            converged = h == prev_hash
+            prev_hash = h
+        else:
+            prev_hash = None
+        n_clean = n_clean_new
+        prev_pairs = pairs
         rounds += 1
         m = {
             "phase": "star",
             "round": r,
             "pairs": n_clean + n_loops,
             "wall_s": time.perf_counter() - t0,
-            "changed": int(new_fp != fp),
+            "changed": int(not converged),
         }
         metrics.append(m)
-        if new_fp == fp:
+        if converged:
             break
-        fp = new_fp
         if verts is None and 0 < n_clean + n_loops <= local_finish_threshold:
             return _local_finish(pairs, rounds, metrics)
     else:

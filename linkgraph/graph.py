@@ -19,12 +19,20 @@ from ray.data.aggregate import Count
 
 
 def default_partitions() -> int:
-    """Shuffle partition count ≈ 2x CPUs (SURVEY.md §4 parallelization row)."""
+    """Shuffle partition count, aligned with the hash-shuffle aggregator pool.
+
+    Partitions beyond the aggregator count multiply shard objects without
+    adding parallelism (measured: 64 partitions = 3.5x slower than 16 on
+    the same 4M rows at 32 CPUs — every partition-shard is a separate
+    object the aggregators must fetch/concat).  tune_context caps the
+    aggregator pool at min(16, cpus); match it.  Multi-node deployments
+    pass ``num_partitions`` explicitly per stage.
+    """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, 2 * cpus)
+    return max(2, min(16, cpus))
 
 
 def from_arrow_edges(table: pa.Table) -> rd.Dataset:

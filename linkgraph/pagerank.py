@@ -186,6 +186,28 @@ def _pull_columns(ds: rd.Dataset, cols: list[str]) -> list[np.ndarray]:
     ]
 
 
+def _pull_columns_capped(
+    ds: rd.Dataset, cols: list[str], cap: int | None
+) -> list[np.ndarray] | None:
+    """Like :func:`_pull_columns` but aborts (returns None) once more than
+    ``cap`` rows have streamed — the driver never holds more than one batch
+    past the cap, so probing "does the vertex set fit in broadcast mode?"
+    costs no extra execution over the pull itself."""
+    parts: list[list[np.ndarray]] = [[] for _ in cols]
+    n = 0
+    for b in ds.select_columns(cols).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        n += len(b)
+        if cap is not None and n > cap:
+            return None
+        for i, c in enumerate(cols):
+            parts[i].append(b[c].to_numpy(zero_copy_only=False))
+    return [
+        np.concatenate(p) if p else np.empty(0, dtype=np.int64) for p in parts
+    ]
+
+
 def _vector_state_ds(ids: np.ndarray, ranks: np.ndarray, outdeg: np.ndarray) -> rd.Dataset:
     """Driver vectors → Dataset in ~4M-row blocks (no giant single block)."""
     chunk = 1 << 22
@@ -238,17 +260,16 @@ def pagerank(
             )
             .materialize()
         )
-        num_v = int(
-            sum(
-                r["n"]
-                for r in parted.map_batches(
-                    _count_dst_block, batch_format="pyarrow", batch_size=None
-                ).take_all()
-            )
+        # one degree-pull execution doubles as the vertex count AND the
+        # broadcast-fits probe (capped stream — no separate count pass)
+        pulled = _pull_columns_capped(
+            parted.map_batches(_deg_dst_block, batch_format="pyarrow", batch_size=None),
+            ["vertex", "degree"],
+            cap=None if mode == "broadcast" else BROADCAST_MAX_VERTICES,
         )
-        if mode == "broadcast" or num_v <= BROADCAST_MAX_VERTICES:
+        if pulled is not None:
             return _pagerank_broadcast_indexed(
-                parted, num_v, ckpt, damping, tol, max_iters,
+                parted, pulled[0], pulled[1], ckpt, damping, tol, max_iters,
                 checkpointer, checkpoint_every, resume,
             )
         mode = "shuffle"  # auto resolved: rank vector too big to broadcast
@@ -490,9 +511,27 @@ def _partial_by_dst(dst: np.ndarray, c: np.ndarray) -> pa.Table:
 # broadcast mode, indexed (fast_undirected path)
 # ---------------------------------------------------------------------------
 
+@ray.remote(num_cpus=1)
+def _superstep_task(block, w: np.ndarray):
+    """One dst-disjoint index block × weighted-rank vector → (dst positions,
+    partial sums).  ``block`` arrives as the materialized Arrow table
+    (zero-copy from the object store); ``w`` is the per-superstep
+    ``ranks/outdeg`` broadcast."""
+    if block.num_columns == 0 or len(block) == 0:
+        return np.empty(0, np.int64), np.empty(0)
+    i_s = block["i_src"].to_numpy(zero_copy_only=False)
+    i_d = block["i_dst"].to_numpy(zero_copy_only=False)
+    c = w[i_s]
+    change = np.empty(len(i_d), dtype=bool)
+    change[0] = True
+    np.not_equal(i_d[1:], i_d[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    return i_d[starts].astype(np.int64), np.add.reduceat(c, starts)
+
 def _pagerank_broadcast_indexed(
     parted: rd.Dataset,
-    num_v: int,
+    vid: np.ndarray,
+    degv: np.ndarray,
     ckpt: Checkpointer,
     damping: float,
     tol: float,
@@ -515,6 +554,7 @@ def _pagerank_broadcast_indexed(
     """
     metrics: list[dict[str, Any]] = []
     t0 = time.perf_counter()
+    num_v = len(vid)
     start = 1
     state_loaded = False
     ids = ranks = outdeg = None
@@ -525,16 +565,11 @@ def _pagerank_broadcast_indexed(
             ids, ranks, outdeg = _pull_columns(state, ["vertex", "rank", "outdeg"])
             order = np.argsort(ids, kind="stable")
             ids, ranks, outdeg = ids[order], np.asarray(ranks)[order], outdeg[order]
+            num_v = len(ids)
             start = it0 + 1
             metrics.append(meta)
             state_loaded = True
     if not state_loaded:
-        vid, degv = _pull_columns(
-            parted.map_batches(_deg_dst_block, batch_format="pyarrow", batch_size=None),
-            ["vertex", "degree"],
-        )
-        t_deg = time.perf_counter()
-        metrics.append({"phase": "prep_deg_pull", "wall_s": t_deg - t0})
         order = np.argsort(vid, kind="stable")
         ids, outdeg = vid[order], np.asarray(degv)[order]
         ranks = np.full(num_v, 1.0 / num_v) if num_v else np.empty(0)
@@ -545,7 +580,7 @@ def _pagerank_broadcast_indexed(
                 {"phase": "init", "num_vertices": num_v, "dangling_mass": 0.0},
             )
         metrics.append(
-            {"phase": "prep_ckpt0", "wall_s": time.perf_counter() - t_deg}
+            {"phase": "prep_ckpt0", "wall_s": time.perf_counter() - t0}
         )
     if num_v == 0:
         empty = rd.from_arrow(
@@ -584,42 +619,30 @@ def _pagerank_broadcast_indexed(
         {"phase": "prep", "num_vertices": num_v, "wall_s": time.perf_counter() - t0}
     )
 
-    _empty_contrib = pa.table(
-        {"i": pa.array([], pa.int64()), "contrib": pa.array([], pa.float64())}
-    )
+    # superstep inner loop = raw Ray tasks over the materialized index's
+    # block refs: a Ray Data execution costs ~2 s of executor/actor-pool
+    # startup per superstep while the actual per-block work is milliseconds;
+    # plain tasks schedule in ~100 ms total.  This is the documented
+    # raw-task exception (driver-held vector state round-trips every
+    # superstep anyway, so there is no streaming pipeline to preserve).
+    # Partitioning assumption: blocks are dst-disjoint (the one sort
+    # exchange above), so per-block partials never overlap.
+    block_refs = [
+        bref
+        for bundle in index.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
     iters = 0
     for it in range(start, start + max_iters):
         t0 = time.perf_counter()
         ref = ray.put(ranks * inv)
-
-        def emit(t: pa.Table, ref=ref) -> pa.Table:
-            if t.num_columns == 0 or len(t) == 0:
-                return _empty_contrib
-            w = ray.get(ref)
-            i_s = t["i_src"].to_numpy(zero_copy_only=False)
-            i_d = t["i_dst"].to_numpy(zero_copy_only=False)
-            c = w[i_s]
-            change = np.empty(len(i_d), dtype=bool)
-            change[0] = True
-            np.not_equal(i_d[1:], i_d[:-1], out=change[1:])
-            starts = np.flatnonzero(change)
-            return pa.table(
-                {
-                    "i": i_d[starts].astype(np.int64),
-                    "contrib": np.add.reduceat(c, starts),
-                }
-            )
-
         t_put = time.perf_counter()
+        futs = [_superstep_task.remote(b, ref) for b in block_refs]
         contrib = np.zeros(num_v)
         # per-block partials are globally disjoint (dst-keyed blocks) →
         # exact deterministic combine by direct indexed assignment
-        for b in index.map_batches(
-            emit, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            contrib[b["i"].to_numpy(zero_copy_only=False)] = b["contrib"].to_numpy(
-                zero_copy_only=False
-            )
+        for i_arr, c_arr in ray.get(futs):
+            contrib[i_arr] = c_arr
         t_pull = time.perf_counter()
         r_new = (1.0 - damping) / num_v + damping * contrib
         delta = float(np.abs(r_new - ranks).sum())
