@@ -43,6 +43,26 @@ def _cc_sizes(sf_dir: str):
     return sizes
 
 
+def _cc_frequent_label(sf_dir: str):
+    """Seeded sample-mode estimate of the giant component's label (ref
+    ``sample_frequent_element``, ``src/cc_openmp.c:422-496``); rows-only
+    driver check (sampling is not SQL-reproducible)."""
+    import ray.data as rd
+
+    from linkgraph.cc import sample_frequent_label
+    from linkgraph.pipelines import flagship
+
+    label, freq = sample_frequent_label(flagship(sf_dir, num_partitions=8).labels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([label], pa.int64()),
+                "est_frequency": pa.array([round(freq, 6)], pa.float64()),
+            }
+        )
+    )
+
+
 def _labelprop(sf_dir: str):
     from linkgraph.labelprop import label_propagation
     from linkgraph.pipelines import copurchase_edges
@@ -195,10 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": R.exact_dedup_docs,
         "token_counts": R.token_counts,
         "graph_degree_top20": R.graph_degree_top20,
+        "graph_degree_stats": R.graph_degree_stats,
         "knn_vec0_top10": R.knn_vec0_top10,
         # graph kernels (rows-only; NumPy-oracled in tests/)
         "cc_labels": _cc_labels,
         "cc_component_sizes": _cc_sizes,
+        "cc_frequent_label": _cc_frequent_label,
         "labelprop_labels": _labelprop,
         "pagerank_top100": _pagerank_top100,
         "triangle_count": _triangles,
@@ -286,6 +308,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS vertex, count(*) AS degree FROM sym
             GROUP BY 1 ORDER BY degree DESC, vertex LIMIT 20
+        """,
+        "graph_degree_stats": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000 AS dst
+              FROM lineitem
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+            ),
+            deg AS (
+              SELECT src AS vertex, count(*) AS degree FROM sym GROUP BY 1
+            )
+            SELECT count(*) AS num_vertices,
+                   CAST(sum(degree) / 2 AS BIGINT) AS num_edges,
+                   min(degree) AS min_degree,
+                   max(degree) AS max_degree,
+                   round(avg(degree), 6) AS avg_degree
+            FROM deg
         """,
         "knn_vec0_top10": """
             SELECT e2.vec_id AS vec_id,

@@ -250,6 +250,55 @@ def graph_degree_top20(sf_dir: str) -> rd.Dataset:
     return deg.sort(["degree", "vertex"], descending=[True, False]).limit(20)
 
 
+def graph_degree_stats(sf_dir: str) -> rd.Dataset:
+    """One-row graph summary: V, E, min/max/avg degree.
+
+    Engine parity for the reference's ``graph_print_stats``
+    (``src/graph.c:222-253``): vertex count, edge count and the degree
+    distribution extrema over the simple undirected graph.
+    """
+    edges = edges_from_lineitem(sf_dir)
+    canon = G.canonicalize(edges, global_dedup=True)
+    deg = G.undirected_degrees(canon).materialize()
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "sum_deg": pa.array([], pa.int64()),
+                    "min_deg": pa.array([], pa.int64()),
+                    "max_deg": pa.array([], pa.int64()),
+                }
+            )
+        d = t["degree"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "sum_deg": pa.array([int(d.sum())], pa.int64()),
+                "min_deg": pa.array([int(d.min())], pa.int64()),
+                "max_deg": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    parts = deg.map_batches(fold, batch_format="pyarrow", batch_size=None).take_all()
+    n = sum(p["n"] for p in parts)
+    sum_deg = sum(p["sum_deg"] for p in parts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "num_vertices": pa.array([n], pa.int64()),
+                "num_edges": pa.array([sum_deg // 2], pa.int64()),
+                "min_degree": pa.array([min(p["min_deg"] for p in parts)], pa.int64()),
+                "max_degree": pa.array([max(p["max_deg"] for p in parts)], pa.int64()),
+                "avg_degree": pa.array(
+                    [round(sum_deg / n, 6) if n else 0.0], pa.float64()
+                ),
+            }
+        )
+    )
+
+
 # -- similarity search with SQL oracle ---------------------------------------
 
 def knn_vec0_top10(sf_dir: str) -> rd.Dataset:
