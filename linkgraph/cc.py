@@ -230,7 +230,10 @@ class CCResult:
 
 
 def _local_finish(
-    pairs: rd.Dataset, rounds: int, metrics: list[dict[str, Any]]
+    pairs: rd.Dataset,
+    rounds: int,
+    metrics: list[dict[str, Any]],
+    verts: rd.Dataset | None = None,
 ) -> CCResult:
     """Finish a small remainder on the driver with the numpy union-find.
 
@@ -238,7 +241,17 @@ def _local_finish(
     cheaply" tail (ref ``src/cc_openmp.c:498-617``): once the contracted
     pair set fits comfortably in driver memory, one local hook-and-compress
     beats several more distributed rounds of ~2.4 s fixed cost each.
+
+    With an explicit ``verts`` set (assumed to cover every edge endpoint —
+    the reference's "edges within [0, num_vertices)" contract,
+    ``src/mtx_reader.c:144-193``), the driver-solved label map for the
+    *touched* vertices is broadcast once and joined against ``verts`` in a
+    single streaming ``map_batches`` pass — untouched vertices label
+    themselves — so the vertex table never funnels through the driver and
+    never shuffles.
     """
+    import ray
+
     t0 = time.perf_counter()
     us, ds_ = [], []
     for b in pairs.iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
@@ -251,21 +264,154 @@ def _local_finish(
         np.searchsorted(ids, u), np.searchsorted(ids, v), len(ids)
     )
     labels_arr = ids[comp]
-    chunk = 1 << 22
-    tables = [
-        pa.table({"vertex": ids[i : i + chunk], "label": labels_arr[i : i + chunk]})
-        for i in range(0, max(len(ids), 1), chunk)
-    ]
-    labels = rd.from_arrow(tables if len(tables) > 1 else tables[0]).materialize()
+    if verts is None:
+        chunk = 1 << 22
+        tables = [
+            pa.table({"vertex": ids[i : i + chunk], "label": labels_arr[i : i + chunk]})
+            for i in range(0, max(len(ids), 1), chunk)
+        ]
+        labels = rd.from_arrow(tables if len(tables) > 1 else tables[0]).materialize()
+        n_comp = int(len(np.unique(labels_arr)))
+    else:
+        ref = ray.put((ids, labels_arr))
+
+        def assign(t: pa.Table, ref=ref) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _EMPTY_LABELS
+            tids, tlab = ray.get(ref)
+            vv = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64, copy=True)
+            lab = vv.copy()
+            if len(tids):
+                p = np.minimum(np.searchsorted(tids, vv), len(tids) - 1)
+                hit = tids[p] == vv
+                lab[hit] = tlab[p[hit]]
+            return pa.table({"vertex": vv, "label": lab})
+
+        labels = verts.select_columns(["vertex"]).map_batches(
+            assign, batch_format="pyarrow"
+        ).materialize()
+        # roots are exactly the rows with vertex == label (identity for
+        # untouched vertices, min-id member for touched components)
+        n_comp = 0
+        for b in labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                (
+                                    t["vertex"].to_numpy(zero_copy_only=False)
+                                    == t["label"].to_numpy(zero_copy_only=False)
+                                ).sum()
+                            )
+                        ]
+                        if len(t)
+                        else [],
+                        pa.int64(),
+                    )
+                },
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            n_comp += int(b["n"].to_numpy(zero_copy_only=False).sum())
     metrics.append(
         {"phase": "local_finish", "pairs": len(u), "wall_s": time.perf_counter() - t0}
     )
-    return CCResult(labels, int(len(np.unique(labels_arr))), rounds, metrics)
+    return CCResult(labels, n_comp, rounds, metrics)
 
 
 _EMPTY_LABELS = pa.table(
     {"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
 )
+
+
+CC_BROADCAST_MAX_PAIRS = 50_000_000  # same per-node state envelope as PageRank
+
+
+def _broadcast_finish(
+    pairs: rd.Dataset,
+    rounds_so_far: int,
+    metrics: list[dict[str, Any]],
+    max_rounds: int,
+) -> CCResult:
+    """Finish CC on the contracted pair set with broadcast supersteps.
+
+    The contracted pairs are a union of per-block stars, so connectivity is
+    shallow; min-label supersteps over a one-time positional index (raw Ray
+    tasks, see ``linkgraph.bsp``) plus a driver-side pointer-jumping
+    compress (the Shiloach-Vishkin shortcut phase, ref ``shortcut``
+    ``src/cc_openmp.c:291-310``, run for free on the gathered label vector)
+    converge in a handful of rounds.  This is the dataflow analogue of the
+    reference's gather-everything ``MPI_Allgatherv`` variants
+    (``src/mpi/cc_mpi.c:388-571``): the per-vertex label vector round-trips
+    through the driver each superstep, so the mode is gated by pair count
+    (``CC_BROADCAST_MAX_PAIRS``); beyond the gate the star rounds run.
+
+    Labels are carried as *positions* into the sorted vertex vector —
+    position order equals id order, so positional min equals id min and the
+    compress is pure ``lab[lab]`` with no searchsorted per round.
+    """
+    import ray
+
+    from linkgraph import bsp
+
+    t0 = time.perf_counter()
+    # marker rows (x, x) ride through symmetrize as self-rows: harmless as
+    # candidates (label[x] min= label[x]) and they carry loop-only vertices
+    # into the dst-derived vertex vector
+    sym = G.dedup_block(G.symmetrize(pairs))
+    edges_dst = bsp.dst_sorted(sym)
+    ids = bsp.vertex_ids(edges_dst)
+    num_v = len(ids)
+    index = bsp.positional_index(edges_dst, ids)
+    block_refs = bsp.index_block_refs(index)
+    metrics.append(
+        {"phase": "bsp_index", "wall_s": time.perf_counter() - t0, "num_vertices": num_v}
+    )
+
+    lab = np.arange(num_v, dtype=np.int64)
+    rounds = rounds_so_far
+    for it in range(max(max_rounds, 1)):
+        t1 = time.perf_counter()
+        ref = ray.put(lab)
+        futs = [bsp.segment_min_task.remote(b, ref) for b in block_refs]
+        new = lab.copy()
+        # per-block candidates are globally disjoint (dst-partitioned)
+        for pos, c in ray.get(futs):
+            new[pos] = np.minimum(new[pos], c)
+        changed = int((new < lab).sum())
+        while True:  # full pointer-jump compress on the driver
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        lab = new
+        rounds += 1
+        metrics.append(
+            {
+                "phase": "bsp_superstep",
+                "round": it,
+                "changed": changed,
+                "wall_s": time.perf_counter() - t1,
+                "mode": "broadcast",
+            }
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
+
+    t2 = time.perf_counter()
+    final = ids[lab]
+    chunk = 1 << 22
+    tables = [
+        pa.table({"vertex": ids[i : i + chunk], "label": final[i : i + chunk]})
+        for i in range(0, max(num_v, 1), chunk)
+    ]
+    labels = rd.from_arrow(tables if len(tables) > 1 else tables[0]).materialize()
+    num_components = int((lab == np.arange(num_v)).sum())
+    metrics.append({"phase": "labels", "wall_s": time.perf_counter() - t2})
+    return CCResult(labels, num_components, rounds, metrics)
 
 
 def _strip_markers(t: pa.Table) -> pa.Table:
@@ -293,10 +439,13 @@ def connected_components(
     max_rounds: int = 64,
     contract_batch_size: int | None = None,
     local_finish_threshold: int = 5_000_000,
+    mode: str = "auto",
 ) -> CCResult:
     """Min-id component labels for an (arbitrary, possibly dirty) edge table.
 
-    ``vertices`` — optional Dataset of all vertex ids (column ``vertex``);
+    ``vertices`` — optional Dataset of all vertex ids (column ``vertex``,
+    unique rows, covering every edge endpoint — the reference's "edges
+    within [0, num_vertices)" contract, ``src/mtx_reader.c:144-193``);
     pass it when isolated vertices (no incident edges) must be labeled.
     Defaults to the vertices touched by ``edges``.
 
@@ -307,6 +456,15 @@ def connected_components(
     same driver-memory envelope PageRank's broadcast mode uses — the
     dataflow analogue of the reference's gather-everything Allgatherv
     variants (``src/mpi/cc_mpi.c:388-571``).
+
+    ``mode`` — ``"auto"`` finishes mid-size pair sets (≤
+    ``CC_BROADCAST_MAX_PAIRS``, no explicit ``vertices``) with broadcast
+    supersteps (``_broadcast_finish``) and falls back to the alternating
+    star rounds beyond the gate; ``"shuffle"`` forces the star rounds;
+    ``"broadcast"`` forces broadcast regardless of size.  Broadcast mode
+    checkpoints the contract phase only (supersteps re-run on resume —
+    they are a small fraction of the contract cost); the star path keeps
+    full per-superstep checkpoints.
     """
     from linkgraph.runtime import tune_context
 
@@ -335,14 +493,28 @@ def connected_components(
         metrics.append({"phase": "contract", "wall_s": time.perf_counter() - t0})
         start_round = 1
 
-    n_clean, h0, n_loops = G.fingerprint_and_loops(pairs)
-    prev_hash: int | None = h0  # multiset hash of ALL rows (markers included)
-    prev_pairs = pairs
+    # gate decisions need only the row count — free block metadata on the
+    # materialized/persisted pairs; the content-hash fingerprint (an extra
+    # execution) is deferred to the star path, the only consumer
+    n_pairs = pairs.count()
     rounds = 0
-    if n_clean + n_loops == 0:
+    if mode != "shuffle" and 0 < n_pairs <= local_finish_threshold:
+        return _local_finish(pairs, rounds, metrics, verts)
+    if (
+        verts is None
+        and 0 < n_pairs
+        and (mode == "broadcast" or (mode == "auto" and n_pairs <= CC_BROADCAST_MAX_PAIRS))
+    ):
+        return _broadcast_finish(pairs, rounds, metrics, max_rounds)
+
+    if n_pairs == 0:
+        n_clean = n_loops = 0
+        prev_hash: int | None = None
         start_round = max_rounds = 0  # empty edge set
-    if verts is None and 0 < n_clean + n_loops <= local_finish_threshold:
-        return _local_finish(pairs, rounds, metrics)
+    else:
+        n_clean, h0, n_loops = G.fingerprint_and_loops(pairs)
+        prev_hash = h0  # multiset hash of ALL rows (markers included)
+    prev_pairs = pairs
     for r in range(start_round, start_round + max_rounds):
         t0 = time.perf_counter()
         clean = pairs if n_loops == 0 else pairs.map_batches(
@@ -388,8 +560,8 @@ def connected_components(
         metrics.append(m)
         if converged:
             break
-        if verts is None and 0 < n_clean + n_loops <= local_finish_threshold:
-            return _local_finish(pairs, rounds, metrics)
+        if mode != "shuffle" and 0 < n_clean + n_loops <= local_finish_threshold:
+            return _local_finish(pairs, rounds, metrics, verts)
     else:
         if max_rounds > 0:
             raise RuntimeError(f"CC did not converge within {max_rounds} rounds")

@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from linkgraph import bsp
 from linkgraph import graph as G
 from linkgraph.cc import CCResult, count_components
 from linkgraph.checkpoint import Checkpointer
@@ -205,24 +206,6 @@ def _label_state_ds(ids: np.ndarray, labels: np.ndarray, changed: np.ndarray) ->
     return rd.from_arrow(tables if len(tables) > 1 else tables[0])
 
 
-@ray.remote(num_cpus=1)
-def _lp_superstep_task(block, labels: np.ndarray):
-    """One dst-disjoint index block × label vector → (dst positions,
-    per-dst min of neighbor labels).  ``block`` is the materialized Arrow
-    index table (zero-copy); ``i_dst`` arrives pre-sorted from the one
-    range exchange."""
-    if block.num_columns == 0 or len(block) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    i_s = block["i_src"].to_numpy(zero_copy_only=False)
-    i_d = block["i_dst"].to_numpy(zero_copy_only=False)
-    c = labels[i_s]
-    change = np.empty(len(i_d), dtype=bool)
-    change[0] = True
-    np.not_equal(i_d[1:], i_d[:-1], out=change[1:])
-    starts = np.flatnonzero(change)
-    return i_d[starts].astype(np.int64), np.minimum.reduceat(c, starts)
-
-
 def _labelprop_broadcast(
     edges, vertices, num_partitions, checkpointer, ckpt, resume, max_iters, strict
 ) -> CCResult | None:
@@ -236,34 +219,18 @@ def _labelprop_broadcast(
     sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
     # range exchange: equal dst values co-locate and arrive pre-sorted, so
     # per-block candidate minima are global and emit needs no re-sort
-    edges_dst = sym.sort("dst").materialize()
-
-    def uniq_dst(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return pa.table({"vertex": pa.array([], pa.int64())})
-        return pa.table(
-            {"vertex": np.unique(t["dst"].to_numpy(zero_copy_only=False))}
-        )
-
-    # dst-partitioned blocks have disjoint dst sets, and post-symmetrize the
-    # dst set IS the vertex set — per-block uniques concat to the exact set
-    parts = [
-        b["vertex"].to_numpy(zero_copy_only=False)
-        for b in edges_dst.map_batches(
-            uniq_dst, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=1 << 22, batch_format="pyarrow")
-    ]
-    ids = (
-        np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    )
-    if vertices is not None:
-        extra = [
+    edges_dst = bsp.dst_sorted(sym)
+    extra = (
+        [
             b["vertex"].to_numpy(zero_copy_only=False)
             for b in vertices.iter_batches(
                 batch_size=1 << 22, batch_format="pyarrow"
             )
         ]
-        ids = np.unique(np.concatenate([ids] + extra))
+        if vertices is not None
+        else None
+    )
+    ids = bsp.vertex_ids(edges_dst, extra)
     num_v = len(ids)
     if num_v > BROADCAST_MAX_VERTICES and not strict:
         return None
@@ -287,49 +254,18 @@ def _labelprop_broadcast(
             start = it + 1
             metrics.append(meta)
 
-    # one-time positional index: (src, dst) → int32 positions in the sorted
-    # vertex vector, so supersteps are a pure gather + segment-min with no
-    # per-superstep searchsorted and no re-broadcast of the id vector
-    use32 = num_v <= np.iinfo(np.int32).max
-    idx_t = pa.int32() if use32 else pa.int64()
-    empty_idx = pa.table({"i_src": pa.array([], idx_t), "i_dst": pa.array([], idx_t)})
-    ref_ids = ray.put(ids)
-
-    def index_block(t: pa.Table, ref=ref_ids, empty=empty_idx, use32=use32) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return empty
-        ids_ = ray.get(ref)
-        dt = np.int32 if use32 else np.int64
-        return pa.table(
-            {
-                "i_src": np.searchsorted(
-                    ids_, t["src"].to_numpy(zero_copy_only=False)
-                ).astype(dt),
-                "i_dst": np.searchsorted(
-                    ids_, t["dst"].to_numpy(zero_copy_only=False)
-                ).astype(dt),
-            }
-        )
-
-    index = edges_dst.map_batches(
-        index_block, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    # superstep inner loop = raw Ray tasks over the materialized index
-    # blocks (same rationale as PageRank broadcast mode: the label vector
-    # round-trips through the driver every superstep anyway, and a Ray
-    # Data execution costs ~2 s of executor startup for ms of work);
-    # blocks are dst-disjoint, so per-block candidates never overlap
-    block_refs = [
-        bref
-        for bundle in index.iter_internal_ref_bundles()
-        for bref in bundle.block_refs
-    ]
+    # one-time positional index + raw-task supersteps (see linkgraph.bsp:
+    # the label vector round-trips through the driver every superstep
+    # anyway, and a Ray Data execution costs ~2 s of executor startup for
+    # ms of work); blocks are dst-disjoint, so candidates never overlap
+    index = bsp.positional_index(edges_dst, ids)
+    block_refs = bsp.index_block_refs(index)
 
     iters = 0
     for it in range(start, start + max_iters):
         t0 = time.perf_counter()
         ref = ray.put(labels)
-        futs = [_lp_superstep_task.remote(b, ref) for b in block_refs]
+        futs = [bsp.segment_min_task.remote(b, ref) for b in block_refs]
         new_labels = labels.copy()
         # per-block candidates are globally disjoint (dst-partitioned), so
         # plain vectorized minimum beats np.minimum.at (~10x slower)

@@ -119,17 +119,20 @@ def test_parallel_edges_and_self_loops():
     assert res.num_components == 2
 
 
-def test_determinism_across_partitionings():
+@pytest.mark.parametrize("mode", ["auto", "shuffle"])
+def test_determinism_across_partitionings(mode):
     edges, _ = synth.make_planted_graph(2_000, 4, 6, seed=5)
     a = connected_components(
         G.from_arrow_edges(edges).repartition(2),
         num_partitions=2,
         local_finish_threshold=0,
+        mode=mode,
     )
     b = connected_components(
         G.from_arrow_edges(edges).repartition(8),
         num_partitions=8,
         local_finish_threshold=0,
+        mode=mode,
     )
     assert labels_dict(a.labels) == labels_dict(b.labels)
 
@@ -138,9 +141,71 @@ def test_local_finish_matches_distributed():
     edges, _ = synth.make_planted_graph(1_500, 5, 4, seed=23)
     local = connected_components(G.from_arrow_edges(edges), num_partitions=4)
     dist = connected_components(
-        G.from_arrow_edges(edges), num_partitions=4, local_finish_threshold=0
+        G.from_arrow_edges(edges),
+        num_partitions=4,
+        local_finish_threshold=0,
+        mode="shuffle",
     )
     assert any(m["phase"] == "local_finish" for m in local.metrics)
     assert all(m["phase"] != "local_finish" for m in dist.metrics)
     assert labels_dict(local.labels) == labels_dict(dist.labels)
     assert local.num_components == dist.num_components
+
+
+def test_broadcast_matches_shuffle():
+    edges, _ = synth.make_planted_graph(3_000, 6, 4, seed=11)
+    bc = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=4,
+        local_finish_threshold=0,
+        mode="broadcast",
+    )
+    sh = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=4,
+        local_finish_threshold=0,
+        mode="shuffle",
+    )
+    assert any(m["phase"] == "bsp_superstep" for m in bc.metrics)
+    assert all(m["phase"] != "bsp_superstep" for m in sh.metrics)
+    assert labels_dict(bc.labels) == labels_dict(sh.labels)
+    assert bc.num_components == sh.num_components
+
+
+def test_broadcast_self_loops_and_parallel_edges():
+    edges = pa.table(
+        {
+            "src": np.array([1, 1, 2, 7, 7], dtype=np.int64),
+            "dst": np.array([2, 2, 1, 7, 7], dtype=np.int64),
+        }
+    )
+    res = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=2,
+        local_finish_threshold=0,
+        mode="broadcast",
+    )
+    assert labels_dict(res.labels) == {1: 1, 2: 1, 7: 7}
+    assert res.num_components == 2
+
+
+def test_local_finish_with_vertex_set():
+    # verts ⊇ endpoints, extra isolated ids; exercises the broadcast
+    # label-map assign pass in _local_finish
+    import ray.data as rd
+
+    edges = pa.table(
+        {
+            "src": np.array([10, 11], dtype=np.int64),
+            "dst": np.array([11, 12], dtype=np.int64),
+        }
+    )
+    verts = rd.from_arrow(
+        pa.table({"vertex": np.array([3, 10, 11, 12, 99], dtype=np.int64)})
+    )
+    res = connected_components(
+        G.from_arrow_edges(edges), vertices=verts, num_partitions=2
+    )
+    assert any(m["phase"] == "local_finish" for m in res.metrics)
+    assert labels_dict(res.labels) == {3: 3, 10: 10, 11: 10, 12: 10, 99: 99}
+    assert res.num_components == 3
