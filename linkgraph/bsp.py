@@ -5,11 +5,18 @@ broadcast modes): symmetrized edges are range-exchanged once by ``dst``
 (equal dst values co-locate and arrive pre-sorted), rewritten once into a
 positional index (``i_src``/``i_dst`` int32 positions into the sorted vertex
 vector), and then every superstep is a fan-out of **raw Ray tasks** over the
-materialized index blocks — the per-vertex state vector round-trips through
-the driver each superstep exactly like the reference's gather-everything
+index blocks — the per-vertex state vector round-trips through the driver
+each superstep exactly like the reference's gather-everything
 ``MPI_Allgatherv`` variants (``src/mpi/cc_mpi.c:388-571``), while a Ray Data
 streaming execution would pay ~2 s of executor/aggregator startup for
 milliseconds of work per superstep.
+
+For the same reason the *prep* stages after the one sort exchange are raw
+tasks too: vertex-id extraction and the positional-index rewrite each cost
+milliseconds of numpy per block, so running them as Ray Data executions
+would be pure fixed overhead.  Only the sort itself (the single all-to-all)
+is a Dataset operation; everything downstream fans out over its block refs
+and the index tables live in the object store as task returns.
 
 Because the exchange is by ``dst``, blocks have **disjoint dst sets**: each
 task's per-dst output rows never overlap another task's, so the driver merge
@@ -30,83 +37,75 @@ import ray.data as rd
 
 
 def dst_sorted(sym_edges: rd.Dataset) -> rd.Dataset:
-    """One range exchange by ``dst``; materialized so the id extraction and
-    index build both read the same blocks without re-execution."""
+    """One range exchange by ``dst``, materialized.  Upstream maps
+    (contraction, symmetrize, block dedup) chained lazily onto the input
+    fuse into this single execution's map side."""
     return sym_edges.sort("dst").materialize()
 
 
+def dataset_block_refs(ds: rd.Dataset) -> list:
+    """Raw object refs of a materialized dataset's Arrow blocks."""
+    return [
+        bref
+        for bundle in ds.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
+
+
+@ray.remote(num_cpus=1)
+def _uniq_dst_task(block) -> np.ndarray:
+    if block.num_columns == 0 or len(block) == 0:
+        return np.empty(0, np.int64)
+    return np.unique(block["dst"].to_numpy(zero_copy_only=False))
+
+
 def vertex_ids(
-    edges_dst: rd.Dataset, extra: list[np.ndarray] | None = None
+    block_refs: list, extra: list[np.ndarray] | None = None
 ) -> np.ndarray:
-    """Sorted vertex-id vector from dst-sorted symmetrized edges.
+    """Sorted vertex-id vector from dst-sorted symmetrized edge blocks.
 
     Post-symmetrize the dst set IS the vertex set, and dst-partitioned
     blocks have disjoint dst sets — per-block uniques concatenate to the
-    exact global set with no further dedup.
+    exact global set with no further dedup.  Raw tasks, no execution.
     """
-
-    def uniq_dst(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return pa.table({"vertex": pa.array([], pa.int64())})
-        return pa.table(
-            {"vertex": np.unique(t["dst"].to_numpy(zero_copy_only=False))}
-        )
-
-    parts = [
-        b["vertex"].to_numpy(zero_copy_only=False)
-        for b in edges_dst.map_batches(
-            uniq_dst, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=1 << 22, batch_format="pyarrow")
-    ]
+    parts = ray.get([_uniq_dst_task.remote(b) for b in block_refs])
+    parts = [p for p in parts if len(p)]
     ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
     if extra:
         ids = np.unique(np.concatenate([ids] + list(extra)))
     return ids
 
 
-def positional_index(edges_dst: rd.Dataset, ids: np.ndarray) -> rd.Dataset:
+@ray.remote(num_cpus=1)
+def _index_block_task(block, ids: np.ndarray, use32: bool) -> pa.Table:
+    dt = np.int32 if use32 else np.int64
+    if block.num_columns == 0 or len(block) == 0:
+        t = pa.int32() if use32 else pa.int64()
+        return pa.table({"i_src": pa.array([], t), "i_dst": pa.array([], t)})
+    return pa.table(
+        {
+            "i_src": np.searchsorted(
+                ids, block["src"].to_numpy(zero_copy_only=False)
+            ).astype(dt),
+            "i_dst": np.searchsorted(
+                ids, block["dst"].to_numpy(zero_copy_only=False)
+            ).astype(dt),
+        }
+    )
+
+
+def positional_index(block_refs: list, ids: np.ndarray) -> list:
     """(src, dst) → (i_src, i_dst) int32/int64 positions into ``ids``.
 
     One-time rewrite so supersteps are a pure gather + segment-min with no
     per-superstep ``searchsorted`` and no re-broadcast of the id vector;
-    ``i_dst`` stays pre-sorted (row order is preserved)."""
+    ``i_dst`` stays pre-sorted (row order is preserved).  Raw tasks over the
+    sorted blocks; the returned **object refs** of the index tables are the
+    superstep inputs — the tables never touch the driver.
+    """
     use32 = len(ids) <= np.iinfo(np.int32).max
-    idx_t = pa.int32() if use32 else pa.int64()
-    empty_idx = pa.table(
-        {"i_src": pa.array([], idx_t), "i_dst": pa.array([], idx_t)}
-    )
     ref_ids = ray.put(ids)
-
-    def index_block(
-        t: pa.Table, ref=ref_ids, empty=empty_idx, use32=use32
-    ) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return empty
-        ids_ = ray.get(ref)
-        dt = np.int32 if use32 else np.int64
-        return pa.table(
-            {
-                "i_src": np.searchsorted(
-                    ids_, t["src"].to_numpy(zero_copy_only=False)
-                ).astype(dt),
-                "i_dst": np.searchsorted(
-                    ids_, t["dst"].to_numpy(zero_copy_only=False)
-                ).astype(dt),
-            }
-        )
-
-    return edges_dst.map_batches(
-        index_block, batch_format="pyarrow", batch_size=None
-    ).materialize()
-
-
-def index_block_refs(index: rd.Dataset) -> list:
-    """Raw object refs of the materialized index blocks (superstep inputs)."""
-    return [
-        bref
-        for bundle in index.iter_internal_ref_bundles()
-        for bref in bundle.block_refs
-    ]
+    return [_index_block_task.remote(b, ref_ids, use32) for b in block_refs]
 
 
 @ray.remote(num_cpus=1)
@@ -114,7 +113,7 @@ def segment_min_task(block, state: np.ndarray):
     """One dst-disjoint index block × per-vertex state vector →
     (dst positions, per-dst min of gathered src state).
 
-    ``block`` is the materialized Arrow index table (zero-copy read);
+    ``block`` is the positional index table (zero-copy object-store read);
     ``i_dst`` arrives pre-sorted from the one range exchange, so the
     segment boundaries are a single vectorized diff."""
     if block.num_columns == 0 or len(block) == 0:

@@ -329,12 +329,13 @@ CC_BROADCAST_MAX_PAIRS = 50_000_000  # same per-node state envelope as PageRank
 
 
 def _broadcast_finish(
-    pairs: rd.Dataset,
+    edges_dst: rd.Dataset,
     rounds_so_far: int,
     metrics: list[dict[str, Any]],
     max_rounds: int,
 ) -> CCResult:
-    """Finish CC on the contracted pair set with broadcast supersteps.
+    """Finish CC on the dst-sorted symmetrized contracted pairs with
+    broadcast supersteps.
 
     The contracted pairs are a union of per-block stars, so connectivity is
     shallow; min-label supersteps over a one-time positional index (raw Ray
@@ -356,15 +357,10 @@ def _broadcast_finish(
     from linkgraph import bsp
 
     t0 = time.perf_counter()
-    # marker rows (x, x) ride through symmetrize as self-rows: harmless as
-    # candidates (label[x] min= label[x]) and they carry loop-only vertices
-    # into the dst-derived vertex vector
-    sym = G.dedup_block(G.symmetrize(pairs))
-    edges_dst = bsp.dst_sorted(sym)
-    ids = bsp.vertex_ids(edges_dst)
+    sorted_refs = bsp.dataset_block_refs(edges_dst)
+    ids = bsp.vertex_ids(sorted_refs)
     num_v = len(ids)
-    index = bsp.positional_index(edges_dst, ids)
-    block_refs = bsp.index_block_refs(index)
+    block_refs = bsp.positional_index(sorted_refs, ids)
     metrics.append(
         {"phase": "bsp_index", "wall_s": time.perf_counter() - t0, "num_vertices": num_v}
     )
@@ -412,6 +408,16 @@ def _broadcast_finish(
     num_components = int((lab == np.arange(num_v)).sum())
     metrics.append({"phase": "labels", "wall_s": time.perf_counter() - t2})
     return CCResult(labels, num_components, rounds, metrics)
+
+
+def _keep_lo(t: pa.Table) -> pa.Table:
+    """Recover oriented pairs (src <= dst rows) from a symmetrized table."""
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_EDGES
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = s <= d
+    return pa.table({"src": s[keep], "dst": d[keep]})
 
 
 def _strip_markers(t: pa.Table) -> pa.Table:
@@ -483,29 +489,70 @@ def connected_components(
             start_round = it + 1
             metrics.append(meta)
 
-    if pairs is None:
-        t0 = time.perf_counter()
-        # orientation + block dedup only — self-loops flow into contract,
-        # which converts them to (x, x) marker rows so loop-only vertices
-        # stay in the vertex set without a second scan of the input
-        canon = G.dedup_block(G.orient_lo_hi(edges))
-        pairs = ckpt.save(0, contract(canon, contract_batch_size), {"phase": "contract"})
-        metrics.append({"phase": "contract", "wall_s": time.perf_counter() - t0})
-        start_round = 1
+    from linkgraph import bsp
 
-    # gate decisions need only the row count — free block metadata on the
-    # materialized/persisted pairs; the content-hash fingerprint (an extra
-    # execution) is deferred to the star path, the only consumer
-    n_pairs = pairs.count()
+    edges_dst: rd.Dataset | None = None
+    if pairs is None and checkpointer is None:
+        # FUSED prep: orientation, block dedup, contraction, one-pass
+        # symmetrize and the single range exchange all run inside ONE
+        # streaming execution — the contracted pairs are never separately
+        # materialized or re-read.  Marker rows (x, x) ride through the
+        # symmetrize as self-rows: harmless as superstep candidates
+        # (label[x] min= label[x]) and they carry loop-only vertices into
+        # the dst-derived vertex vector.  Gate decisions read free block
+        # metadata off the sorted result (sym rows ≈ 2 × pairs).
+        t0 = time.perf_counter()
+        canon = G.dedup_block(G.orient_lo_hi(edges))
+        lazy_pairs = contract(canon, contract_batch_size)
+        edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(lazy_pairs)))
+        metrics.append(
+            {"phase": "contract_sym_sort", "wall_s": time.perf_counter() - t0}
+        )
+        start_round = 1
+        n_pairs = (edges_dst.count() + 1) // 2
+    else:
+        if pairs is None:
+            t0 = time.perf_counter()
+            # orientation + block dedup only — self-loops flow into contract,
+            # which converts them to (x, x) marker rows so loop-only vertices
+            # stay in the vertex set without a second scan of the input
+            canon = G.dedup_block(G.orient_lo_hi(edges))
+            pairs = ckpt.save(
+                0, contract(canon, contract_batch_size), {"phase": "contract"}
+            )
+            metrics.append({"phase": "contract", "wall_s": time.perf_counter() - t0})
+            start_round = 1
+        # gate decisions need only the row count — free block metadata on
+        # the materialized/persisted pairs; the content-hash fingerprint (an
+        # extra execution) is deferred to the star path, the only consumer
+        n_pairs = pairs.count()
+
     rounds = 0
     if mode != "shuffle" and 0 < n_pairs <= local_finish_threshold:
-        return _local_finish(pairs, rounds, metrics, verts)
+        # the symmetrized table is fine here: the driver union-find is
+        # direction-independent and dedups ids itself
+        return _local_finish(
+            pairs if pairs is not None else edges_dst, rounds, metrics, verts
+        )
     if (
         verts is None
         and 0 < n_pairs
         and (mode == "broadcast" or (mode == "auto" and n_pairs <= CC_BROADCAST_MAX_PAIRS))
     ):
-        return _broadcast_finish(pairs, rounds, metrics, max_rounds)
+        if edges_dst is None:
+            t0 = time.perf_counter()
+            edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(pairs)))
+            metrics.append({"phase": "sym_sort", "wall_s": time.perf_counter() - t0})
+        return _broadcast_finish(edges_dst, rounds, metrics, max_rounds)
+
+    if pairs is None:
+        # the fused prep landed on the star path (beyond-gate size, forced
+        # shuffle mode, or explicit vertex set): recover the oriented pairs
+        # — src <= dst keeps exactly the (root < child) rows plus the
+        # (x, x) markers — with one cheap map over the sorted blocks
+        t0 = time.perf_counter()
+        pairs = edges_dst.map_batches(_keep_lo, batch_format="pyarrow").materialize()
+        metrics.append({"phase": "unsym", "wall_s": time.perf_counter() - t0})
 
     if n_pairs == 0:
         n_clean = n_loops = 0

@@ -134,6 +134,23 @@ def symmetrize(edges: rd.Dataset) -> rd.Dataset:
     return edges.union(edges.map_batches(_swap_batch, batch_format="pyarrow"))
 
 
+def _sym_block_batch(t: pa.Table) -> pa.Table:
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"src": np.concatenate([s, d]), "dst": np.concatenate([d, s])}
+    )
+
+
+def symmetrize_block(edges: rd.Dataset) -> rd.Dataset:
+    """Both directions emitted in one per-block pass (same semantics as
+    :func:`symmetrize`, which is a ``union`` and therefore consumes its
+    input **twice** — on a lazy upstream chain that re-executes the whole
+    chain, so iterative kernels chaining contraction/extraction into the
+    symmetrize must use this one-pass form)."""
+    return edges.map_batches(_sym_block_batch, batch_format="pyarrow")
+
+
 def out_degrees(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """(vertex, degree) from directed edges — groupby count (one shuffle).
 
@@ -180,7 +197,7 @@ def undirected_degrees(
     canonical_edges: rd.Dataset, num_partitions: int | None = None
 ) -> rd.Dataset:
     """Degrees on the undirected simple graph (input must be canonical)."""
-    return out_degrees(symmetrize(canonical_edges), num_partitions)
+    return out_degrees(symmetrize_block(canonical_edges), num_partitions)
 
 
 def _vertex_batch(t: pa.Table) -> pa.Table:

@@ -101,7 +101,9 @@ def label_propagation(
     elif mode != "shuffle":
         raise ValueError(f"unknown mode {mode!r}")
 
-    sym = G.symmetrize(G.canonicalize(edges)).materialize()  # reused every superstep
+    # one-pass symmetrize (the union form would scan the lazy canonicalize
+    # chain twice); materialized because every superstep reuses it
+    sym = G.symmetrize_block(G.canonicalize(edges)).materialize()
     verts = vertices if vertices is not None else G.vertices_of(sym, num_partitions)
 
     metrics: list[dict[str, Any]] = []
@@ -216,10 +218,13 @@ def _labelprop_broadcast(
     the vertex set exceeds ``BROADCAST_MAX_VERTICES`` and not strict."""
     import ray
 
-    sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-    # range exchange: equal dst values co-locate and arrive pre-sorted, so
-    # per-block candidate minima are global and emit needs no re-sort
+    # one-pass symmetrize (union-based symmetrize would scan the input
+    # twice); range exchange: equal dst values co-locate and arrive
+    # pre-sorted, so per-block candidate minima are global and emit needs
+    # no re-sort — all of it one fused streaming execution
+    sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
     edges_dst = bsp.dst_sorted(sym)
+    sorted_refs = bsp.dataset_block_refs(edges_dst)
     extra = (
         [
             b["vertex"].to_numpy(zero_copy_only=False)
@@ -230,7 +235,7 @@ def _labelprop_broadcast(
         if vertices is not None
         else None
     )
-    ids = bsp.vertex_ids(edges_dst, extra)
+    ids = bsp.vertex_ids(sorted_refs, extra)
     num_v = len(ids)
     if num_v > BROADCAST_MAX_VERTICES and not strict:
         return None
@@ -258,8 +263,7 @@ def _labelprop_broadcast(
     # the label vector round-trips through the driver every superstep
     # anyway, and a Ray Data execution costs ~2 s of executor startup for
     # ms of work); blocks are dst-disjoint, so candidates never overlap
-    index = bsp.positional_index(edges_dst, ids)
-    block_refs = bsp.index_block_refs(index)
+    block_refs = bsp.positional_index(sorted_refs, ids)
 
     iters = 0
     for it in range(start, start + max_iters):

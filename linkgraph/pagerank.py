@@ -64,7 +64,9 @@ def _prepare_edges(edges: rd.Dataset, directed: bool, num_partitions: int) -> rd
     """Simple (deduped, loop-free) directed edge set used by the iteration."""
     if directed:
         return G.dedup_edges(G.drop_self_loops(edges), num_partitions)
-    return G.symmetrize(G.canonicalize(edges, global_dedup=True))
+    # one-pass symmetrize: the union form would execute the global-dedup
+    # sort shuffle twice (lazy input consumed by both union branches)
+    return G.symmetrize_block(G.canonicalize(edges, global_dedup=True))
 
 
 _EMPTY_WEIGHTED = pa.table(
@@ -249,7 +251,7 @@ def pagerank(
     # and the broadcast-mode gather index all fall out of it shuffle-free
     fast_undirected = not directed and vertices is None
     if fast_undirected and mode in ("auto", "broadcast"):
-        sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
+        sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
         # range exchange by dst: equal dst values co-locate (single-key sort),
         # so block-local dedup/degrees/index are global; measured ~7x faster
         # map-side than the keyed hash repartition on 16-byte rows
@@ -275,7 +277,7 @@ def pagerank(
         mode = "shuffle"  # auto resolved: rank vector too big to broadcast
     if fast_undirected:
         # shuffle-mode prep (>50M vertices): src-keyed weighted edge table
-        sym = G.symmetrize(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
+        sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
         weighted_src = weighted = (
             sym.repartition(num_partitions, keys=["src"])
             .map_batches(_weight_block, batch_format="pyarrow", batch_size=None)
