@@ -45,6 +45,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
+from linkgraph import bsp
 from linkgraph import graph as G
 from linkgraph.checkpoint import Checkpointer
 from linkgraph.partition import bucket_join
@@ -105,23 +106,18 @@ def _dedup_sorted_dst_block(t: pa.Table) -> pa.Table:
 _EMPTY_EDGES_SD = pa.table(
     {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
 )
-_EMPTY_DEG_SD = pa.table(
-    {"vertex": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
-)
-
-
-def _deg_dst_block(t: pa.Table) -> pa.Table:
-    """(vertex, degree) from a dst-sorted dst-partitioned block — global
-    because dst values are block-disjoint."""
-    if t.num_columns == 0 or len(t) == 0:
-        return _EMPTY_DEG_SD
-    d = t["dst"].to_numpy(zero_copy_only=False)
+@ray.remote(num_cpus=1)
+def _deg_dst_task(block):
+    """(vertex, degree) arrays from one dst-sorted dst-disjoint block —
+    global because dst values are block-disjoint."""
+    if block.num_columns == 0 or len(block) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d = block["dst"].to_numpy(zero_copy_only=False)
     change = np.empty(len(d), dtype=bool)
     change[0] = True
     change[1:] = d[1:] != d[:-1]
     starts = np.flatnonzero(change)
-    counts = np.diff(np.append(starts, len(d)))
-    return pa.table({"vertex": d[starts], "degree": counts})
+    return d[starts], np.diff(np.append(starts, len(d)))
 
 
 def _count_dst_block(t: pa.Table) -> pa.Table:
@@ -188,27 +184,6 @@ def _pull_columns(ds: rd.Dataset, cols: list[str]) -> list[np.ndarray]:
     ]
 
 
-def _pull_columns_capped(
-    ds: rd.Dataset, cols: list[str], cap: int | None
-) -> list[np.ndarray] | None:
-    """Like :func:`_pull_columns` but aborts (returns None) once more than
-    ``cap`` rows have streamed — the driver never holds more than one batch
-    past the cap, so probing "does the vertex set fit in broadcast mode?"
-    costs no extra execution over the pull itself."""
-    parts: list[list[np.ndarray]] = [[] for _ in cols]
-    n = 0
-    for b in ds.select_columns(cols).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        n += len(b)
-        if cap is not None and n > cap:
-            return None
-        for i, c in enumerate(cols):
-            parts[i].append(b[c].to_numpy(zero_copy_only=False))
-    return [
-        np.concatenate(p) if p else np.empty(0, dtype=np.int64) for p in parts
-    ]
-
 
 def _vector_state_ds(ids: np.ndarray, ranks: np.ndarray, outdeg: np.ndarray) -> rd.Dataset:
     """Driver vectors → Dataset in ~4M-row blocks (no giant single block)."""
@@ -262,16 +237,28 @@ def pagerank(
             )
             .materialize()
         )
-        # one degree-pull execution doubles as the vertex count AND the
-        # broadcast-fits probe (capped stream — no separate count pass)
-        pulled = _pull_columns_capped(
-            parted.map_batches(_deg_dst_block, batch_format="pyarrow", batch_size=None),
-            ["vertex", "degree"],
-            cap=None if mode == "broadcast" else BROADCAST_MAX_VERTICES,
-        )
-        if pulled is not None:
+        # raw-task degree extraction over the sorted block refs (no extra
+        # execution): dst-disjoint sorted blocks make the per-block
+        # (vertex, degree) segments exact and globally disjoint.  The
+        # accumulate doubles as the broadcast-fits probe — it aborts once
+        # the vertex count exceeds the gate (>50M-vertex scale path).
+        parted_refs = bsp.dataset_block_refs(parted)
+        cap = None if mode == "broadcast" else BROADCAST_MAX_VERTICES
+        futs = [_deg_dst_task.remote(b) for b in parted_refs]
+        vparts, dparts, total, fits = [], [], 0, True
+        for i in range(0, len(futs), 16):
+            for v_arr, d_arr in ray.get(futs[i : i + 16]):
+                vparts.append(v_arr)
+                dparts.append(d_arr)
+                total += len(v_arr)
+            if cap is not None and total > cap:
+                fits = False
+                break
+        if fits:
+            vid = np.concatenate(vparts) if vparts else np.empty(0, np.int64)
+            degv = np.concatenate(dparts) if dparts else np.empty(0, np.int64)
             return _pagerank_broadcast_indexed(
-                parted, pulled[0], pulled[1], ckpt, damping, tol, max_iters,
+                parted_refs, vid, degv, ckpt, damping, tol, max_iters,
                 checkpointer, checkpoint_every, resume,
             )
         mode = "shuffle"  # auto resolved: rank vector too big to broadcast
@@ -531,7 +518,7 @@ def _superstep_task(block, w: np.ndarray):
     return i_d[starts].astype(np.int64), np.add.reduceat(c, starts)
 
 def _pagerank_broadcast_indexed(
-    parted: rd.Dataset,
+    parted_refs: list,
     vid: np.ndarray,
     degv: np.ndarray,
     ckpt: Checkpointer,
@@ -544,8 +531,8 @@ def _pagerank_broadcast_indexed(
 ) -> PageRankResult:
     """Broadcast mode over a pre-indexed incidence table.
 
-    ``parted`` is the dst-keyed, (dst, src)-sorted, globally-deduped
-    symmetric incidence table.  A one-time pass converts (src, dst) into
+    ``parted_refs`` are the block refs of the dst-keyed, (dst, src)-sorted,
+    globally-deduped symmetric incidence table.  A one-time pass converts (src, dst) into
     int32 positions in the sorted vertex-id vector, so every superstep is a
     single distributed map (vectorized gather + segment ``reduceat`` — no
     sort, no searchsorted) plus a driver combine over globally-disjoint
@@ -592,28 +579,10 @@ def _pagerank_broadcast_indexed(
     inv = 1.0 / outdeg  # degree ≥ 1 everywhere post-symmetrize
 
     t_idx0 = time.perf_counter()
-    use32 = num_v <= np.iinfo(np.int32).max
-    idx_t = pa.int32() if use32 else pa.int64()
-    empty_idx = pa.table({"i_src": pa.array([], idx_t), "i_dst": pa.array([], idx_t)})
-    ref_ids = ray.put(ids)
-
-    def index_block(t: pa.Table, ref=ref_ids, empty=empty_idx, use32=use32) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return empty
-        ids_ = ray.get(ref)
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        dt = np.int32 if use32 else np.int64
-        return pa.table(
-            {
-                "i_src": np.searchsorted(ids_, s).astype(dt),
-                "i_dst": np.searchsorted(ids_, d).astype(dt),
-            }
-        )
-
-    index = parted.map_batches(
-        index_block, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    # positional index as raw tasks over the sorted block refs (see
+    # linkgraph.bsp): the index tables live in the object store as task
+    # returns — no Ray Data execution, nothing touches the driver
+    block_refs = bsp.positional_index(parted_refs, ids)
     metrics.append(
         {"phase": "prep_index", "wall_s": time.perf_counter() - t_idx0}
     )
@@ -621,19 +590,14 @@ def _pagerank_broadcast_indexed(
         {"phase": "prep", "num_vertices": num_v, "wall_s": time.perf_counter() - t0}
     )
 
-    # superstep inner loop = raw Ray tasks over the materialized index's
-    # block refs: a Ray Data execution costs ~2 s of executor/actor-pool
-    # startup per superstep while the actual per-block work is milliseconds;
-    # plain tasks schedule in ~100 ms total.  This is the documented
-    # raw-task exception (driver-held vector state round-trips every
-    # superstep anyway, so there is no streaming pipeline to preserve).
+    # superstep inner loop = raw Ray tasks over the index block refs: a
+    # Ray Data execution costs ~2 s of executor/actor-pool startup per
+    # superstep while the actual per-block work is milliseconds; plain
+    # tasks schedule in ~100 ms total.  This is the documented raw-task
+    # exception (driver-held vector state round-trips every superstep
+    # anyway, so there is no streaming pipeline to preserve).
     # Partitioning assumption: blocks are dst-disjoint (the one sort
     # exchange above), so per-block partials never overlap.
-    block_refs = [
-        bref
-        for bundle in index.iter_internal_ref_bundles()
-        for bref in bundle.block_refs
-    ]
     iters = 0
     for it in range(start, start + max_iters):
         t0 = time.perf_counter()
