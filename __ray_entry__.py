@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": R.distinct_users,
         "exact_dedup_docs": R.exact_dedup_docs,
         "token_counts": R.token_counts,
+        "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
         "knn_vec0_top10": R.knn_vec0_top10,
@@ -297,6 +298,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "doc_word_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS n_punct
+            FROM documents
         """,
         "graph_degree_top20": """
             WITH e AS (

@@ -240,6 +240,30 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return d.map_batches(count_block, batch_format="pyarrow")
 
 
+def doc_word_stats(sf_dir: str) -> rd.Dataset:
+    """Exact per-document character-class counts (chars, latin words, digits,
+    punctuation) — the integer-valued core of the quality-scoring features
+    (textstats.QualityScorer), expressed as pure Arrow regex-count kernels so
+    it is value-checkable against a DuckDB oracle."""
+    d = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_block(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+                "n_words": pc.count_substring_regex(txt, "[A-Za-z]+").cast(pa.int64()),
+                "n_digits": pc.count_substring_regex(txt, "[0-9]").cast(pa.int64()),
+                "n_punct": pc.count_substring_regex(txt, "[.,;:!?'\"()-]").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return d.map_batches(stats_block, batch_format="pyarrow")
+
+
 # -- graph-derived tables with SQL oracle ------------------------------------
 
 def graph_degree_top20(sf_dir: str) -> rd.Dataset:
