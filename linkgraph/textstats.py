@@ -112,26 +112,70 @@ def _trigram_counts(text: str, dim: int = 4096) -> np.ndarray:
         h ^= h >> np.uint64(15)
         h *= np.uint64(0x2C1B3C6D)
     idx = (h % np.uint64(dim)).astype(np.int64)
-    v = np.zeros(dim)
-    np.add.at(v, idx, 1.0)
-    return v
+    return np.bincount(idx, minlength=dim).astype(np.float64)
 
 
 def train_lang_profiles(
     ds: rd.Dataset, *, sample_per_lang: int = 200, seed: int = 41, dim: int = 4096
 ) -> dict[str, np.ndarray]:
-    """Per-language normalized trigram profiles from a seeded sample of a
-    labeled corpus (supervised by the ``lang`` column)."""
-    sample = ds.select_columns(["text", "lang"]).random_sample(1.0, seed=seed)
-    profiles: dict[str, np.ndarray] = {}
-    counts: dict[str, int] = {}
-    for b in sample.iter_batches(batch_size=2048, batch_format="pyarrow"):
-        for text, lang in zip(b["text"].to_pylist(), b["lang"].to_pylist()):
-            if counts.get(lang, 0) >= sample_per_lang:
+    """Per-language normalized trigram profiles from a labeled corpus
+    (supervised by the ``lang`` column), trained distributed.
+
+    One small ``groupby('lang').count()`` sizes a per-language sampling
+    rate targeting ~``sample_per_lang`` docs per language; one
+    ``map_batches`` pass then selects docs by **id hash** (crc32 of the
+    ``doc_id`` — deterministic regardless of block structure or
+    parallelism, unlike per-block RNG, and unbiased under duplicate
+    texts) and emits per-block per-language summed trigram vectors.  Only those tiny partials (≤ blocks × languages rows of a
+    ``dim``-float vector) reach the driver, which sums and normalizes —
+    the corpus text itself never leaves the workers, so the pass streams
+    at any corpus size.
+    """
+    lang_counts = {
+        r["lang"]: r["count()"]
+        for r in ds.groupby("lang").count().take_all()
+    }
+    # crc32(text || seed) is uniform on [0, 2^32); keep a doc when the
+    # hash falls below rate × 2^32
+    thresholds = {
+        lang: int(min(1.0, sample_per_lang / max(n, 1)) * (1 << 32))
+        for lang, n in lang_counts.items()
+    }
+
+    def block_partials(t: pa.Table) -> pa.Table:
+        import zlib
+
+        salt = str(seed).encode()
+        acc: dict[str, np.ndarray] = {}
+        cnt: dict[str, int] = {}
+        for doc_id, text, lang in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        ):
+            if zlib.crc32(str(doc_id).encode() + salt) >= thresholds[lang]:
                 continue
             v = _trigram_counts(text, dim)
-            profiles[lang] = profiles.get(lang, np.zeros(dim)) + v
-            counts[lang] = counts.get(lang, 0) + 1
+            acc[lang] = acc.get(lang, np.zeros(dim)) + v
+            cnt[lang] = cnt.get(lang, 0) + 1
+        langs = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array([cnt[l] for l in langs], pa.int64()),
+                "vec": pa.array(
+                    [acc[l].tolist() for l in langs], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    profiles: dict[str, np.ndarray] = {}
+    for b in (
+        ds.select_columns(["doc_id", "text", "lang"])
+        .map_batches(block_partials, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        vecs = np.asarray(b["vec"].to_pylist(), dtype=np.float64)
+        for i, lang in enumerate(b["lang"].to_pylist()):
+            profiles[lang] = profiles.get(lang, np.zeros(dim)) + vecs[i]
     for lang, v in profiles.items():
         n = np.linalg.norm(v)
         profiles[lang] = v / n if n else v
