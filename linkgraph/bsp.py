@@ -77,24 +77,26 @@ def vertex_ids(
 
 
 @ray.remote(num_cpus=1)
-def _index_block_task(block, ids: np.ndarray, use32: bool) -> pa.Table:
+def _index_block_task(block, ids: np.ndarray, use32: bool, dedup: bool) -> pa.Table:
     dt = np.int32 if use32 else np.int64
     if block.num_columns == 0 or len(block) == 0:
         t = pa.int32() if use32 else pa.int64()
         return pa.table({"i_src": pa.array([], t), "i_dst": pa.array([], t)})
-    return pa.table(
-        {
-            "i_src": np.searchsorted(
-                ids, block["src"].to_numpy(zero_copy_only=False)
-            ).astype(dt),
-            "i_dst": np.searchsorted(
-                ids, block["dst"].to_numpy(zero_copy_only=False)
-            ).astype(dt),
-        }
-    )
+    i_s = np.searchsorted(ids, block["src"].to_numpy(zero_copy_only=False))
+    i_d = np.searchsorted(ids, block["dst"].to_numpy(zero_copy_only=False))
+    if dedup:
+        # dst-disjoint blocks make a block-local (dst, src) dedup GLOBAL;
+        # lexsort keyed primarily on i_dst keeps the segment-min invariant
+        order = np.lexsort((i_s, i_d))
+        i_s, i_d = i_s[order], i_d[order]
+        keep = np.empty(len(i_d), dtype=bool)
+        keep[0] = True
+        keep[1:] = (i_d[1:] != i_d[:-1]) | (i_s[1:] != i_s[:-1])
+        i_s, i_d = i_s[keep], i_d[keep]
+    return pa.table({"i_src": i_s.astype(dt), "i_dst": i_d.astype(dt)})
 
 
-def positional_index(block_refs: list, ids: np.ndarray) -> list:
+def positional_index(block_refs: list, ids: np.ndarray, *, dedup: bool = False) -> list:
     """(src, dst) → (i_src, i_dst) int32/int64 positions into ``ids``.
 
     One-time rewrite so supersteps are a pure gather + segment-min with no
@@ -102,10 +104,15 @@ def positional_index(block_refs: list, ids: np.ndarray) -> list:
     ``i_dst`` stays pre-sorted (row order is preserved).  Raw tasks over the
     sorted blocks; the returned **object refs** of the index tables are the
     superstep inputs — the tables never touch the driver.
+
+    ``dedup=True`` drops duplicate (src, dst) rows during the rewrite — a
+    *global* dedup, since the range exchange made blocks dst-disjoint.
+    Only valid for multiplicity-insensitive consumers (CC's segment-min);
+    PageRank/label-frequency consumers must keep every row.
     """
     use32 = len(ids) <= np.iinfo(np.int32).max
     ref_ids = ray.put(ids)
-    return [_index_block_task.remote(b, ref_ids, use32) for b in block_refs]
+    return [_index_block_task.remote(b, ref_ids, use32, dedup) for b in block_refs]
 
 
 @ray.remote(num_cpus=1)

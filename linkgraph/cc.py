@@ -333,6 +333,8 @@ def _broadcast_finish(
     rounds_so_far: int,
     metrics: list[dict[str, Any]],
     max_rounds: int,
+    sorted_refs: list | None = None,
+    ids: np.ndarray | None = None,
 ) -> CCResult:
     """Finish CC on the dst-sorted symmetrized contracted pairs with
     broadcast supersteps.
@@ -345,8 +347,9 @@ def _broadcast_finish(
     converge in a handful of rounds.  This is the dataflow analogue of the
     reference's gather-everything ``MPI_Allgatherv`` variants
     (``src/mpi/cc_mpi.c:388-571``): the per-vertex label vector round-trips
-    through the driver each superstep, so the mode is gated by pair count
-    (``CC_BROADCAST_MAX_PAIRS``); beyond the gate the star rounds run.
+    through the driver each superstep, so the mode is gated by the
+    per-vertex state size (``CC_BROADCAST_MAX_PAIRS``, measured on the
+    true vertex count); beyond the gate the star rounds run.
 
     Labels are carried as *positions* into the sorted vertex vector —
     position order equals id order, so positional min equals id min and the
@@ -357,10 +360,14 @@ def _broadcast_finish(
     from linkgraph import bsp
 
     t0 = time.perf_counter()
-    sorted_refs = bsp.dataset_block_refs(edges_dst)
-    ids = bsp.vertex_ids(sorted_refs)
+    if sorted_refs is None:
+        sorted_refs = bsp.dataset_block_refs(edges_dst)
+    if ids is None:
+        ids = bsp.vertex_ids(sorted_refs)
     num_v = len(ids)
-    block_refs = bsp.positional_index(sorted_refs, ids)
+    # contracted pairs carry cross-block duplicates (contract dedups only
+    # block-locally); dedup during the index rewrite is free and global here
+    block_refs = bsp.positional_index(sorted_refs, ids, dedup=True)
     metrics.append(
         {"phase": "bsp_index", "wall_s": time.perf_counter() - t0, "num_vertices": num_v}
     )
@@ -534,16 +541,36 @@ def connected_components(
         return _local_finish(
             pairs if pairs is not None else edges_dst, rounds, metrics, verts
         )
-    if (
-        verts is None
-        and 0 < n_pairs
-        and (mode == "broadcast" or (mode == "auto" and n_pairs <= CC_BROADCAST_MAX_PAIRS))
-    ):
-        if edges_dst is None:
+    if verts is None and 0 < n_pairs and mode != "shuffle":
+        if mode == "broadcast" or n_pairs <= CC_BROADCAST_MAX_PAIRS:
+            if edges_dst is None:
+                t0 = time.perf_counter()
+                edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(pairs)))
+                metrics.append(
+                    {"phase": "sym_sort", "wall_s": time.perf_counter() - t0}
+                )
+            return _broadcast_finish(edges_dst, rounds, metrics, max_rounds)
+        if edges_dst is not None:
+            # the pair count over-estimates: contract dedups only
+            # block-locally, so cross-block duplicate pairs inflate it (2×
+            # observed at 64 M edges).  The broadcast envelope is really the
+            # per-VERTEX state vector — measure it exactly with cheap raw
+            # tasks over the already-sorted dst-disjoint blocks before
+            # falling back to the star rounds.
             t0 = time.perf_counter()
-            edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(pairs)))
-            metrics.append({"phase": "sym_sort", "wall_s": time.perf_counter() - t0})
-        return _broadcast_finish(edges_dst, rounds, metrics, max_rounds)
+            sorted_refs = bsp.dataset_block_refs(edges_dst)
+            ids = bsp.vertex_ids(sorted_refs)
+            metrics.append(
+                {
+                    "phase": "vertex_gate",
+                    "wall_s": time.perf_counter() - t0,
+                    "num_vertices": len(ids),
+                }
+            )
+            if len(ids) <= CC_BROADCAST_MAX_PAIRS:
+                return _broadcast_finish(
+                    edges_dst, rounds, metrics, max_rounds, sorted_refs, ids
+                )
 
     if pairs is None:
         # the fused prep landed on the star path (beyond-gate size, forced

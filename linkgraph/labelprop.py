@@ -263,7 +263,10 @@ def _labelprop_broadcast(
     # the label vector round-trips through the driver every superstep
     # anyway, and a Ray Data execution costs ~2 s of executor startup for
     # ms of work); blocks are dst-disjoint, so candidates never overlap
-    block_refs = bsp.positional_index(sorted_refs, ids)
+    # dedup=True: the superstep is a pure segment-min, so duplicate edges
+    # (the input is only block-locally deduped) are dead weight — the index
+    # rewrite drops them globally for free (blocks are dst-disjoint)
+    block_refs = bsp.positional_index(sorted_refs, ids, dedup=True)
 
     iters = 0
     for it in range(start, start + max_iters):
