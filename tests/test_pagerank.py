@@ -92,3 +92,36 @@ def test_pagerank_deterministic_across_partitioning():
     rb = {r["vertex"]: r["rank"] for r in b.ranks.take_all()}
     assert set(ra) == set(rb)
     assert all(abs(ra[k] - rb[k]) < 1e-12 for k in ra)
+
+
+def test_pagerank_undirected_bsp_shuffle_mode():
+    # forced shuffle exercises the >BROADCAST_MAX_VERTICES scale path:
+    # BSP supersteps over dst-sorted blocks with object-store-sharded state
+    edges, _ = synth.make_planted_graph(400, 4, 5, seed=31)
+    res = pagerank(
+        G.from_arrow_edges(edges), directed=False, num_partitions=4,
+        tol=1e-12, mode="shuffle",
+    )
+    assert res.metrics[-1]["mode"] == "shuffle"
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    exp = oracle.pagerank(
+        np.concatenate([src, dst]), np.concatenate([dst, src]), 400
+    )
+    got = ranks_vec(res.ranks, 400)
+    assert res.num_vertices == 400
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_bsp_shuffle_matches_broadcast():
+    edges, _ = synth.make_planted_graph(300, 3, 4, seed=23)
+    a = pagerank(G.from_arrow_edges(edges), directed=False, num_partitions=4, tol=1e-10)
+    b = pagerank(
+        G.from_arrow_edges(edges), directed=False, num_partitions=4,
+        tol=1e-10, mode="shuffle",
+    )
+    ra = {r["vertex"]: r["rank"] for r in a.ranks.take_all()}
+    rb = {r["vertex"]: r["rank"] for r in b.ranks.take_all()}
+    assert set(ra) == set(rb)
+    assert all(abs(ra[k] - rb[k]) < 1e-9 for k in ra)
