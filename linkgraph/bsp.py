@@ -115,6 +115,153 @@ def positional_index(block_refs: list, ids: np.ndarray, *, dedup: bool = False) 
     return [_index_block_task.remote(b, ref_ids, use32, dedup) for b in block_refs]
 
 
+# ---------------------------------------------------------------------------
+# sharded-state min-label machinery (CC/LP beyond the driver-broadcast gate)
+#
+# Per-vertex labels live as one shard per dst-sorted block (aligned vertex
+# ranges, like PageRank's BSP mode).  A superstep is one emit round (each
+# shard pushes its labels along its rows, split per owner) + one apply round
+# (owners take mins); long label chains are cut by sharded pointer jumping
+# (label[label[v]] fetched through a request/reply/update task round-trip).
+# Only (target, candidate) chunks and lookup chunks move; the driver sees
+# per-shard changed counts.  Ref parity: the owner-computes update exchange
+# of the MPI union-find (src/mpi/cc_mpi.c:2091-2239) and the shortcut phase
+# of Shiloach-Vishkin (src/cc_openmp.c:291-310), as dataflow.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def sharded_prep(block):
+    """One dst-sorted symmetrized block → static emit arrays + metadata.
+
+    Local vertex set = unique dst (blocks are dst-disjoint); rows are
+    re-read as dst→src pushes (the symmetrized table carries both
+    directions), deduped block-locally (= globally, dst-disjoint) and
+    re-sorted once by the push target so each emit is one ``reduceat``.
+    Returns ``(vids, tgt_unique, tgt_starts, i_local)`` and ``(n, first)``.
+    """
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int32),
+    )
+    if block.num_columns == 0 or len(block) == 0:
+        return empty, (0, 0)
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((s, d))
+    s, d = s[order], d[order]
+    keep = np.empty(len(s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    s, d = s[keep], d[keep]
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    np.not_equal(d[1:], d[:-1], out=change[1:])
+    vids = d[np.flatnonzero(change)]
+    i_local = (np.cumsum(change) - 1).astype(np.int32)
+    order2 = np.argsort(s, kind="stable")
+    tgt = s[order2]
+    i_local = i_local[order2]
+    tchange = np.empty(len(tgt), dtype=bool)
+    tchange[0] = True
+    np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
+    tgt_starts = np.flatnonzero(tchange)
+    return (vids, tgt[tgt_starts], tgt_starts, i_local), (
+        int(len(vids)),
+        int(vids[0]),
+    )
+
+
+def _owner_split(sorted_vals: np.ndarray, payload, firsts: np.ndarray) -> list:
+    """Split (sorted targets, aligned payload) into per-owner-range chunks."""
+    cuts = np.searchsorted(sorted_vals, firsts[1:])
+    bounds = np.concatenate([[0], cuts, [len(sorted_vals)]])
+    return [
+        (sorted_vals[bounds[i] : bounds[i + 1]], payload[bounds[i] : bounds[i + 1]])
+        for i in range(len(firsts))
+    ]
+
+
+@ray.remote(num_cpus=1)
+def sharded_min_emit(prep, labels: np.ndarray, firsts: np.ndarray):
+    """Push each local vertex's label along its rows; per-target min;
+    split by owner (call with ``num_returns=K``)."""
+    vids, tgt_unique, tgt_starts, i_local = prep
+    k = len(firsts)
+    if len(tgt_unique) == 0:
+        return [(np.empty(0, np.int64), np.empty(0, np.int64))] * k
+    cand = np.minimum.reduceat(labels[i_local], tgt_starts)
+    return _owner_split(tgt_unique, cand, firsts)
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def sharded_min_apply(prep, labels: np.ndarray, *chunks):
+    """Take the min of received candidates into the local label shard."""
+    vids = prep[0]
+    new = labels.copy()
+    for ch in chunks:
+        pairs = ch if isinstance(ch, list) else [ch]
+        for tgt_c, cand_c in pairs:
+            if len(tgt_c):
+                pos = np.searchsorted(vids, tgt_c)
+                # chunk targets are unique → plain indexed assignment
+                new[pos] = np.minimum(new[pos], cand_c)
+    return new, int((new < labels).sum())
+
+
+@ray.remote(num_cpus=1)
+def sharded_jump_request(prep, labels: np.ndarray, firsts: np.ndarray):
+    """Unique label values this shard points at, split by owner, plus the
+    local inverse map (returned LAST — call with ``num_returns=K+1``)."""
+    uniq, inv = np.unique(labels, return_inverse=True)
+    k = len(firsts)
+    outs = _owner_split(uniq, np.empty(0), firsts)
+    return [o[0] for o in outs] + [inv.astype(np.int32)]
+
+
+@ray.remote(num_cpus=1)
+def sharded_jump_reply(prep, labels: np.ndarray, *request_chunks):
+    """labels[ℓ] for each requested local vertex ℓ (call with
+    ``num_returns=K``; chunk order preserves the requester's sort)."""
+    vids = prep[0]
+    outs = []
+    for reqs in request_chunks:
+        reqs = np.asarray(reqs)
+        if len(reqs) == 0:
+            outs.append(np.empty(0, np.int64))
+        else:
+            outs.append(labels[np.searchsorted(vids, reqs)])
+    return outs if len(outs) > 1 else outs[0]
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def sharded_jump_update(labels: np.ndarray, inv: np.ndarray, *replies):
+    """labels ← min(labels, label[label]) — one pointer jump."""
+    parts = [np.asarray(r) for r in replies]
+    lab_of_uniq = (
+        np.concatenate(parts) if parts else np.empty(0, np.int64)
+    )
+    new = np.minimum(labels, lab_of_uniq[inv])
+    return new, int((new < labels).sum())
+
+
+@ray.remote(num_cpus=1)
+def sharded_labels_table(prep, labels: np.ndarray) -> pa.Table:
+    return pa.table({"vertex": prep[0], "label": labels})
+
+
+@ray.remote(num_cpus=1)
+def sharded_root_count(prep, labels: np.ndarray) -> int:
+    return int((labels == prep[0]).sum())
+
+
+@ray.remote(num_cpus=1)
+def init_labels(prep) -> np.ndarray:
+    return prep[0].copy()
+
+
 @ray.remote(num_cpus=1)
 def segment_min_task(block, state: np.ndarray):
     """One dst-disjoint index block × per-vertex state vector →

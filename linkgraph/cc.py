@@ -328,6 +328,115 @@ _EMPTY_LABELS = pa.table(
 CC_BROADCAST_MAX_PAIRS = 50_000_000  # same per-node state envelope as PageRank
 
 
+def _sharded_finish(
+    edges_dst: rd.Dataset,
+    rounds_so_far: int,
+    metrics: list[dict[str, Any]],
+    max_rounds: int,
+) -> CCResult:
+    """Finish CC beyond the driver-broadcast gate: labels sharded in the
+    object store (one shard per dst-sorted block, aligned vertex ranges),
+    min-label supersteps as emit/apply task rounds, and sharded pointer
+    jumping (``linkgraph.bsp`` sharded machinery) instead of the driver
+    compress — nothing per-vertex ever reaches the driver, so the mode has
+    no per-node state envelope.  Dataflow analogue of the reference's
+    owner-computes MPI union-find exchange (``src/mpi/cc_mpi.c:2018-2341``)
+    with the Shiloach-Vishkin shortcut (``src/cc_openmp.c:291-310``)."""
+    import ray
+
+    from linkgraph import bsp
+
+    t0 = time.perf_counter()
+    sorted_refs = bsp.dataset_block_refs(edges_dst)
+    pairs2 = [bsp.sharded_prep.remote(b) for b in sorted_refs]
+    metas = ray.get([p[1] for p in pairs2])
+    keep = [i for i, (n, _) in enumerate(metas) if n > 0]
+    preps = [pairs2[i][0] for i in keep]
+    counts = [metas[i][0] for i in keep]
+    firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
+    num_v = int(sum(counts))
+    k = len(preps)
+    if k == 0:
+        empty = rd.from_arrow(
+            pa.table({"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+        return CCResult(empty, 0, rounds_so_far, metrics)
+    firsts_ref = ray.put(firsts)
+    labels = [bsp.init_labels.remote(p) for p in preps]
+    metrics.append(
+        {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0, "num_vertices": num_v}
+    )
+
+    def jump_until_stable(labels: list) -> tuple[list, int]:
+        total = 0
+        while True:
+            reqs = [
+                bsp.sharded_jump_request.options(num_returns=k + 1).remote(
+                    preps[i], labels[i], firsts_ref
+                )
+                for i in range(k)
+            ]
+            reply_sets = [
+                bsp.sharded_jump_reply.options(num_returns=k).remote(
+                    preps[j], labels[j], *[reqs[i][j] for i in range(k)]
+                )
+                for j in range(k)
+            ]
+            if k == 1:
+                reply_sets = [[r] for r in reply_sets]
+            ups = [
+                bsp.sharded_jump_update.remote(
+                    labels[i], reqs[i][k], *[reply_sets[j][i] for j in range(k)]
+                )
+                for i in range(k)
+            ]
+            labels = [u[0] for u in ups]
+            changed = int(sum(ray.get([u[1] for u in ups])))
+            total += changed
+            if changed == 0:
+                return labels, total
+
+    rounds = rounds_so_far
+    for it in range(max(max_rounds, 1)):
+        t1 = time.perf_counter()
+        emits = [
+            bsp.sharded_min_emit.options(num_returns=k).remote(
+                preps[i], labels[i], firsts_ref
+            )
+            for i in range(k)
+        ]
+        if k == 1:
+            emits = [[e] for e in emits]
+        outs = [
+            bsp.sharded_min_apply.remote(
+                preps[j], labels[j], *[emits[i][j] for i in range(k)]
+            )
+            for j in range(k)
+        ]
+        labels = [o[0] for o in outs]
+        changed = int(sum(ray.get([o[1] for o in outs])))
+        labels, jumped = jump_until_stable(labels)
+        rounds += 1
+        metrics.append(
+            {"phase": "sharded_superstep", "round": it, "changed": changed,
+             "jumped": jumped, "wall_s": time.perf_counter() - t1,
+             "mode": "sharded"}
+        )
+        if changed == 0 and jumped == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
+
+    t2 = time.perf_counter()
+    tables = [bsp.sharded_labels_table.remote(preps[j], labels[j]) for j in range(k)]
+    labels_ds = rd.from_arrow_refs(tables).materialize()
+    num_components = int(
+        sum(ray.get([bsp.sharded_root_count.remote(preps[j], labels[j]) for j in range(k)]))
+    )
+    metrics.append({"phase": "labels", "wall_s": time.perf_counter() - t2})
+    return CCResult(labels_ds, num_components, rounds, metrics)
+
+
 def _broadcast_finish(
     edges_dst: rd.Dataset,
     rounds_so_far: int,
@@ -470,14 +579,16 @@ def connected_components(
     dataflow analogue of the reference's gather-everything Allgatherv
     variants (``src/mpi/cc_mpi.c:388-571``).
 
-    ``mode`` — ``"auto"`` finishes mid-size pair sets (≤
+    ``mode`` — ``"auto"`` finishes mid-size vertex sets (≤
     ``CC_BROADCAST_MAX_PAIRS``, no explicit ``vertices``) with broadcast
-    supersteps (``_broadcast_finish``) and falls back to the alternating
-    star rounds beyond the gate; ``"shuffle"`` forces the star rounds;
-    ``"broadcast"`` forces broadcast regardless of size.  Broadcast mode
-    checkpoints the contract phase only (supersteps re-run on resume —
-    they are a small fraction of the contract cost); the star path keeps
-    full per-superstep checkpoints.
+    supersteps (``_broadcast_finish``) and, beyond the per-node state
+    gate, with sharded supersteps (``_sharded_finish`` — labels sharded in
+    the object store, no envelope); ``"shuffle"`` forces the alternating
+    star rounds; ``"broadcast"`` / ``"sharded"`` force those finishes
+    regardless of size.  Broadcast/sharded modes checkpoint the contract
+    phase only (supersteps re-run on resume — they are a small fraction of
+    the contract cost); the star path keeps full per-superstep
+    checkpoints.
     """
     from linkgraph.runtime import tune_context
 
@@ -542,6 +653,14 @@ def connected_components(
             pairs if pairs is not None else edges_dst, rounds, metrics, verts
         )
     if verts is None and 0 < n_pairs and mode != "shuffle":
+        if mode == "sharded":
+            if edges_dst is None:
+                t0 = time.perf_counter()
+                edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(pairs)))
+                metrics.append(
+                    {"phase": "sym_sort", "wall_s": time.perf_counter() - t0}
+                )
+            return _sharded_finish(edges_dst, rounds, metrics, max_rounds)
         if mode == "broadcast" or n_pairs <= CC_BROADCAST_MAX_PAIRS:
             if edges_dst is None:
                 t0 = time.perf_counter()
@@ -571,6 +690,10 @@ def connected_components(
                 return _broadcast_finish(
                     edges_dst, rounds, metrics, max_rounds, sorted_refs, ids
                 )
+            # beyond the per-node state envelope: sharded labels, no
+            # driver round-trip (the star rounds remain only for forced
+            # mode="shuffle" and explicit vertex sets)
+            return _sharded_finish(edges_dst, rounds, metrics, max_rounds)
 
     if pairs is None:
         # the fused prep landed on the star path (beyond-gate size, forced

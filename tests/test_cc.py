@@ -209,3 +209,52 @@ def test_local_finish_with_vertex_set():
     assert any(m["phase"] == "local_finish" for m in res.metrics)
     assert labels_dict(res.labels) == {3: 3, 10: 10, 11: 10, 12: 10, 99: 99}
     assert res.num_components == 3
+
+
+def test_sharded_matches_shuffle():
+    # the beyond-gate scale path: object-store-sharded labels with
+    # emit/apply min rounds + sharded pointer jumping
+    edges, _ = synth.make_planted_graph(3_000, 6, 4, seed=11)
+    sd = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=4,
+        local_finish_threshold=0,
+        mode="sharded",
+    )
+    sh = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=4,
+        local_finish_threshold=0,
+        mode="shuffle",
+    )
+    assert any(m["phase"] == "sharded_superstep" for m in sd.metrics)
+    assert labels_dict(sd.labels) == labels_dict(sh.labels)
+    assert sd.num_components == sh.num_components
+
+
+def test_sharded_self_loops_and_parallel_edges():
+    edges = pa.table(
+        {
+            "src": np.array([1, 1, 2, 7, 7], dtype=np.int64),
+            "dst": np.array([2, 2, 1, 7, 7], dtype=np.int64),
+        }
+    )
+    res = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=2,
+        local_finish_threshold=0,
+        mode="sharded",
+    )
+    assert labels_dict(res.labels) == {1: 1, 2: 1, 7: 7}
+    assert res.num_components == 2
+
+
+def test_sharded_hub_graph():
+    edges, _ = synth.make_hub_graph(5_000, 3)
+    res = connected_components(
+        G.from_arrow_edges(edges),
+        num_partitions=4,
+        local_finish_threshold=0,
+        mode="sharded",
+    )
+    assert res.num_components == 4
