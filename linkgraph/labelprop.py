@@ -81,9 +81,12 @@ def label_propagation(
     ``mode="broadcast"`` (auto below 50M vertices) is the Allgatherv
     analogue: the label vector is broadcast per superstep, dst-partitioned
     edge blocks emit disjoint per-dst min candidates in ONE distributed
-    pass, and the driver applies the min + changed-count.  ``"shuffle"``
-    keeps all vertex state distributed (join + min-reduce per superstep) —
-    the >50M-vertex path.
+    pass, and the driver applies the min + changed-count.  Beyond the gate
+    auto uses ``"sharded"`` (labels sharded in the object store, one
+    emit/apply task round per superstep, identical sweep semantics, no
+    state envelope) when there is no explicit vertex set or checkpointer;
+    ``"shuffle"`` keeps all vertex state distributed as dataflow (join +
+    min-reduce per superstep) and retains checkpoint/vertex support.
     """
     from linkgraph.runtime import tune_context
 
@@ -91,13 +94,23 @@ def label_propagation(
     num_partitions = num_partitions or G.default_partitions()
     ckpt = checkpointer or Checkpointer(None)
 
+    if mode == "sharded":
+        if vertices is not None or checkpointer is not None:
+            raise ValueError(
+                "sharded mode supports neither explicit vertices nor checkpoints"
+            )
+        return _labelprop_sharded(edges, max_iters)
     if mode in ("auto", "broadcast"):
         res = _labelprop_broadcast(
             edges, vertices, num_partitions, checkpointer, ckpt, resume,
             max_iters, strict=(mode == "broadcast"),
         )
-        if res is not None:
+        if isinstance(res, CCResult):
             return res
+        if res is not None and vertices is None and checkpointer is None:
+            # beyond the broadcast gate: reuse the already-paid exchange
+            # (res = its sorted block refs) for the sharded supersteps
+            return _labelprop_sharded(edges, max_iters, sorted_refs=res)
     elif mode != "shuffle":
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -208,14 +221,89 @@ def _label_state_ds(ids: np.ndarray, labels: np.ndarray, changed: np.ndarray) ->
     return rd.from_arrow(tables if len(tables) > 1 else tables[0])
 
 
+def _labelprop_sharded(
+    edges, max_iters: int, sorted_refs: list | None = None
+) -> CCResult:
+    """Beyond-gate label propagation: labels sharded in the object store
+    (one shard per dst-sorted block, aligned vertex ranges), one
+    emit/apply task round per superstep (``linkgraph.bsp`` sharded
+    machinery) — identical synchronous sweep semantics to broadcast mode
+    (same iteration counts), no per-node state envelope, and nothing
+    per-vertex on the driver.  No pointer jumping: LP reports
+    iterations-to-convergence of the plain sweep (ref
+    ``src/mpi/cc_mpi.c:388-571`` semantics)."""
+    import ray
+
+    t0 = time.perf_counter()
+    if sorted_refs is None:
+        sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
+        sorted_refs = bsp.dataset_block_refs(bsp.dst_sorted(sym))
+    pairs2 = [bsp.sharded_prep.remote(b) for b in sorted_refs]
+    metas = ray.get([p[1] for p in pairs2])
+    keep = [i for i, (n, _) in enumerate(metas) if n > 0]
+    preps = [pairs2[i][0] for i in keep]
+    firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
+    num_v = int(sum(metas[i][0] for i in keep))
+    k = len(preps)
+    metrics: list[dict[str, Any]] = [
+        {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0,
+         "num_vertices": num_v}
+    ]
+    if k == 0:
+        empty = rd.from_arrow(
+            pa.table({"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+        return CCResult(empty, 0, 0, metrics)
+    firsts_ref = ray.put(firsts)
+    labels = [bsp.init_labels.remote(p) for p in preps]
+
+    iters = 0
+    for it in range(1, max_iters + 1):
+        t1 = time.perf_counter()
+        emits = [
+            bsp.sharded_min_emit.options(num_returns=k).remote(
+                preps[i], labels[i], firsts_ref
+            )
+            for i in range(k)
+        ]
+        if k == 1:
+            emits = [[e] for e in emits]
+        outs = [
+            bsp.sharded_min_apply.remote(
+                preps[j], labels[j], *[emits[i][j] for i in range(k)]
+            )
+            for j in range(k)
+        ]
+        labels = [o[0] for o in outs]
+        changed = int(sum(ray.get([o[1] for o in outs])))
+        iters += 1
+        metrics.append(
+            {"phase": "superstep", "iteration": it, "changed": changed,
+             "mode": "sharded", "wall_s": time.perf_counter() - t1}
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation exceeded {max_iters} supersteps")
+
+    tables = [bsp.sharded_labels_table.remote(preps[j], labels[j]) for j in range(k)]
+    labels_ds = rd.from_arrow_refs(tables).materialize()
+    n_comp = int(
+        sum(ray.get([bsp.sharded_root_count.remote(preps[j], labels[j]) for j in range(k)]))
+    )
+    return CCResult(labels_ds, n_comp, iters, metrics)
+
+
 def _labelprop_broadcast(
     edges, vertices, num_partitions, checkpointer, ckpt, resume, max_iters, strict
-) -> CCResult | None:
+):
     """One distributed pass per superstep: broadcast the label vector,
     dst-partitioned edge blocks emit disjoint per-dst min candidates,
     driver applies the min + changed count (``MPI_Allgatherv`` analogue,
-    ref ``src/mpi/cc_mpi.c:388-571``).  Returns None (→ shuffle path) when
-    the vertex set exceeds ``BROADCAST_MAX_VERTICES`` and not strict."""
+    ref ``src/mpi/cc_mpi.c:388-571``).  When the vertex set exceeds
+    ``BROADCAST_MAX_VERTICES`` and not strict, returns the sorted block
+    refs instead of a result so the caller can reuse the already-paid
+    exchange for the sharded path (or fall through to shuffle)."""
     import ray
 
     # one-pass symmetrize (union-based symmetrize would scan the input
@@ -238,7 +326,7 @@ def _labelprop_broadcast(
     ids = bsp.vertex_ids(sorted_refs, extra)
     num_v = len(ids)
     if num_v > BROADCAST_MAX_VERTICES and not strict:
-        return None
+        return sorted_refs
 
     labels = ids.copy()
     metrics: list[dict[str, Any]] = []

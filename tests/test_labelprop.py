@@ -67,3 +67,16 @@ def test_broadcast_checkpoint_resume(tmp_ckpt):
         resume=True,
     )
     assert labels_dict(full.labels) == labels_dict(resumed.labels)
+
+
+def test_sharded_matches_broadcast():
+    # the beyond-gate scale path: identical sweep semantics (same
+    # iteration count) with object-store-sharded labels
+    edges, _ = synth.make_planted_graph(400, 4, 5, seed=31)
+    bc = label_propagation(G.from_arrow_edges(edges), num_partitions=4)
+    sd = label_propagation(
+        G.from_arrow_edges(edges), num_partitions=4, mode="sharded"
+    )
+    assert labels_dict(sd.labels) == labels_dict(bc.labels)
+    assert sd.num_components == bc.num_components
+    assert sd.num_iterations == bc.num_iterations
