@@ -166,7 +166,7 @@ def _bsp_shuffle_prep(block):
     tchange = np.empty(len(tgt), dtype=bool)
     tchange[0] = True
     np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
-    tgt_starts = np.flatnonzero(tchange)
+    tgt_starts = np.flatnonzero(tchange).astype(np.int32)  # block rows < 2^31
     return (vids, inv_out, tgt[tgt_starts], tgt_starts, i_local), (
         int(len(vids)),
         int(vids[0]),
