@@ -71,8 +71,16 @@ def orient_lo_hi(edges: rd.Dataset) -> rd.Dataset:
 def _dedup_batch(t: pa.Table) -> pa.Table:
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
-    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-    return pa.table({"src": pairs[:, 0], "dst": pairs[:, 1]})
+    if len(src) == 0:
+        return _EMPTY_EDGE_TABLE
+    # lexsort + adjacent-keep ≈ 40% faster than np.unique(..., axis=0)
+    # (which round-trips through a structured void dtype)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    keep = np.empty(len(s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    return pa.table({"src": s[keep], "dst": d[keep]})
 
 
 def dedup_block(edges: rd.Dataset) -> rd.Dataset:
