@@ -26,17 +26,36 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 
 def _planted_parquet(n_vertices: int, n_components: int, epv: int, seed: int) -> str:
-    """Write (once) and return the cached planted-graph parquet path."""
+    """Write (once) and return the cached planted-graph parquet path.
+
+    Written as a DIRECTORY of 32 equal shards: Ray parallelizes parquet
+    reads at file granularity, and a single-file fixture serializes the
+    whole decode into one task (~6 s at 64 M edges) at every consumer.
+    """
     import pyarrow.parquet as pq
 
     from linkgraph import synth
 
     d = "/tmp/linkgraph_bench"
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"planted_v{n_vertices}_c{n_components}_e{epv}_s{seed}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(
+        d, f"planted_v{n_vertices}_c{n_components}_e{epv}_s{seed}_sharded"
+    )
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
         edges, _ = synth.make_planted_graph(n_vertices, n_components, epv, seed=seed)
-        pq.write_table(edges, path, row_group_size=1 << 20)
+        os.makedirs(path, exist_ok=True)
+        n = edges.num_rows
+        shards = 32
+        for i in range(shards):
+            lo, hi = i * n // shards, (i + 1) * n // shards
+            pq.write_table(
+                edges.slice(lo, hi - lo),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=1 << 20,
+            )
+        with open(done, "w") as f:
+            f.write("ok")
     return path
 
 
