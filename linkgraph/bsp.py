@@ -43,6 +43,112 @@ def dst_sorted(sym_edges: rd.Dataset) -> rd.Dataset:
     return sym_edges.sort("dst").materialize()
 
 
+# ---------------------------------------------------------------------------
+# raw-task range exchange (replaces Dataset.sort on the kernel hot paths)
+#
+# Measured on the 107 M-row CC prep at 32 CPUs: Ray's Sort operator spends
+# ~3.4 s/block in SortMap on blocks polars sorts in ~0.2 s — the overhead is
+# operator machinery, not sorting.  The raw version samples boundaries, range-
+# splits each block (one ``num_returns=K`` task per block) and merges per
+# range; same-session A/B: 17–19 s vs 23 s for the fused Dataset.sort chain.
+#
+# PARTITIONING CONTRACT (everything downstream relies on it): output tables
+# are sorted by ``dst`` within each table, ranges are disjoint and ascending
+# across tables, and ALL rows of an equal dst value land in one table
+# (boundaries split with one consistent ``searchsorted`` side).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=1)
+def _sample_dst_task(block, n: int) -> np.ndarray:
+    if block.num_columns == 0 or len(block) == 0:
+        return np.empty(0, np.int64)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    idx = np.linspace(0, len(d) - 1, min(n, len(d))).astype(np.int64)
+    return np.sort(d[idx])
+
+
+@ray.remote(num_cpus=1)
+def _range_split_task(block, bounds: np.ndarray) -> list:
+    k = len(bounds) + 1
+    if block.num_columns == 0 or len(block) == 0:
+        e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return [e] * k if k > 1 else [e]
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    cuts = np.searchsorted(d, bounds, side="left")
+    bpts = np.concatenate([[0], cuts, [len(d)]])
+    return [
+        pa.table({"src": s[bpts[i] : bpts[i + 1]], "dst": d[bpts[i] : bpts[i + 1]]})
+        for i in range(k)
+    ]
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _merge_range_task(dedup_sort_src: bool, *chunks):
+    """Concatenate one range's chunks → dst-sorted table + its row count.
+
+    ``dedup_sort_src=True`` additionally sorts src within each dst run and
+    drops exact duplicate rows — a GLOBAL dedup, valid because the range
+    owns every copy of its dst values."""
+    ss = [c["src"].to_numpy(zero_copy_only=False) for c in chunks if len(c)]
+    if not ss:
+        e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return e, 0
+    s = np.concatenate(ss)
+    d = np.concatenate([c["dst"].to_numpy(zero_copy_only=False) for c in chunks if len(c)])
+    if dedup_sort_src:
+        order = np.lexsort((s, d))
+        s, d = s[order], d[order]
+        keep = np.empty(len(s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        s, d = s[keep], d[keep]
+    else:
+        order = np.argsort(d, kind="stable")
+        s, d = s[order], d[order]
+    return pa.table({"src": s, "dst": d}), int(len(s))
+
+
+def raw_dst_exchange(
+    sym_edges: rd.Dataset, *, dedup_sort_src: bool = False, samples_per_block: int = 2000
+) -> tuple[list, int]:
+    """Range-exchange a (src, dst) dataset by ``dst`` with raw tasks.
+
+    Returns ``(block refs, total rows)``; the refs satisfy the partitioning
+    contract above and feed every sharded/broadcast consumer directly.
+    Wrap with ``ray.data.from_arrow_refs`` where a Dataset is needed."""
+    pre = sym_edges.materialize()
+    refs = dataset_block_refs(pre)
+    if not refs:
+        return [], 0
+    k = len(refs)
+    samples = ray.get([_sample_dst_task.remote(r, samples_per_block) for r in refs])
+    samples = [x for x in samples if len(x)]
+    if not samples:
+        merged = [_merge_range_task.remote(dedup_sort_src, *refs)]
+        return [merged[0][0]], int(ray.get(merged[0][1]))
+    alls = np.sort(np.concatenate(samples))
+    bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
+    bounds = np.unique(bounds)  # duplicate boundaries → empty ranges, drop
+    nk = len(bounds) + 1
+    if nk == 1:  # degenerate key range: merge everything into one block
+        m = _merge_range_task.remote(dedup_sort_src, *refs)
+        return [m[0]], int(ray.get(m[1]))
+    bref = ray.put(bounds)
+    parts = [
+        _range_split_task.options(num_returns=nk).remote(r, bref) for r in refs
+    ]
+    merged = [
+        _merge_range_task.remote(dedup_sort_src, *[parts[i][j] for i in range(k)])
+        for j in range(nk)
+    ]
+    n = int(sum(ray.get([m[1] for m in merged])))
+    return [m[0] for m in merged], n
+
+
 def dataset_block_refs(ds: rd.Dataset) -> list:
     """Raw object refs of a materialized dataset's Arrow blocks."""
     return [

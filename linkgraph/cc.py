@@ -626,12 +626,13 @@ def connected_components(
         # chain never mixes blocks — both block dedups were measured as
         # pure UDF cost (~7 s CPU per 2 M-row task, no rows dropped)
         lazy_pairs = contract(G.orient_lo_hi(edges), contract_batch_size)
-        edges_dst = bsp.dst_sorted(G.symmetrize_block(lazy_pairs))
+        raw_refs, n_rows = bsp.raw_dst_exchange(G.symmetrize_block(lazy_pairs))
+        edges_dst = rd.from_arrow_refs(raw_refs)
         metrics.append(
             {"phase": "contract_sym_sort", "wall_s": time.perf_counter() - t0}
         )
         start_round = 1
-        n_pairs = (edges_dst.count() + 1) // 2
+        n_pairs = (n_rows + 1) // 2
     else:
         if pairs is None:
             t0 = time.perf_counter()
@@ -662,7 +663,8 @@ def connected_components(
         if mode == "sharded":
             if edges_dst is None:
                 t0 = time.perf_counter()
-                edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(pairs)))
+                refs2, _ = bsp.raw_dst_exchange(G.dedup_block(G.symmetrize_block(pairs)))
+                edges_dst = rd.from_arrow_refs(refs2)
                 metrics.append(
                     {"phase": "sym_sort", "wall_s": time.perf_counter() - t0}
                 )
@@ -670,7 +672,8 @@ def connected_components(
         if mode == "broadcast" or n_pairs <= CC_BROADCAST_MAX_PAIRS:
             if edges_dst is None:
                 t0 = time.perf_counter()
-                edges_dst = bsp.dst_sorted(G.dedup_block(G.symmetrize_block(pairs)))
+                refs2, _ = bsp.raw_dst_exchange(G.dedup_block(G.symmetrize_block(pairs)))
+                edges_dst = rd.from_arrow_refs(refs2)
                 metrics.append(
                     {"phase": "sym_sort", "wall_s": time.perf_counter() - t0}
                 )

@@ -237,7 +237,7 @@ def _labelprop_sharded(
     t0 = time.perf_counter()
     if sorted_refs is None:
         sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-        sorted_refs = bsp.dataset_block_refs(bsp.dst_sorted(sym))
+        sorted_refs, _ = bsp.raw_dst_exchange(sym)
     pairs2 = [bsp.sharded_prep.remote(b) for b in sorted_refs]
     metas = ray.get([p[1] for p in pairs2])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
@@ -311,8 +311,7 @@ def _labelprop_broadcast(
     # pre-sorted, so per-block candidate minima are global and emit needs
     # no re-sort — all of it one fused streaming execution
     sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-    edges_dst = bsp.dst_sorted(sym)
-    sorted_refs = bsp.dataset_block_refs(edges_dst)
+    sorted_refs, _n_rows = bsp.raw_dst_exchange(sym)
     extra = (
         [
             b["vertex"].to_numpy(zero_copy_only=False)

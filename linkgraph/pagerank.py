@@ -87,30 +87,6 @@ _EMPTY_DEG = pa.table(
 )
 
 
-def _dedup_sorted_dst_block(t: pa.Table) -> pa.Table:
-    """Whole-block (dst-partitioned, symmetrized): global dedup, sorted by
-    (dst, src).
-
-    All copies of an incidence (·, v) land in the block owning dst=v, so
-    block-local adjacent-dedup IS global dedup; the per-dst segment length
-    IS the (undirected) degree of v; and the (dst, src) sort order is baked
-    in once so broadcast supersteps never re-sort.
-    """
-    if t.num_columns == 0 or len(t) == 0:
-        return _EMPTY_EDGES_SD
-    s = t["src"].to_numpy(zero_copy_only=False)
-    d = t["dst"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((s, d))  # dst primary, src secondary
-    s, d = s[order], d[order]
-    keep = np.empty(len(s), dtype=bool)
-    keep[0] = True
-    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
-    return pa.table({"src": s[keep], "dst": d[keep]})
-
-
-_EMPTY_EDGES_SD = pa.table(
-    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-)
 @ray.remote(num_cpus=1)
 def _deg_dst_task(block):
     """(vertex, degree) arrays from one dst-sorted dst-disjoint block —
@@ -403,22 +379,16 @@ def pagerank(
     bsp_ok = checkpointer is None and not resume
     if fast_undirected and (mode in ("auto", "broadcast") or (mode == "shuffle" and bsp_ok)):
         sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-        # range exchange by dst: equal dst values co-locate (single-key sort),
-        # so block-local dedup/degrees/index are global; measured ~7x faster
-        # map-side than the keyed hash repartition on 16-byte rows
-        parted = (
-            sym.sort("dst")
-            .map_batches(
-                _dedup_sorted_dst_block, batch_format="pyarrow", batch_size=None
-            )
-            .materialize()
-        )
+        # raw-task range exchange by dst (bsp.raw_dst_exchange): equal dst
+        # values co-locate, and dedup_sort_src folds the global dedup +
+        # (dst, src) block order into the merge — the per-range owner holds
+        # every copy of its dst values, so block-local dedup is global
+        parted_refs, _n_rows = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
         # raw-task degree extraction over the sorted block refs (no extra
         # execution): dst-disjoint sorted blocks make the per-block
         # (vertex, degree) segments exact and globally disjoint.  The
         # accumulate doubles as the broadcast-fits probe — it aborts once
         # the vertex count exceeds the gate (>50M-vertex scale path).
-        parted_refs = bsp.dataset_block_refs(parted)
         if mode != "shuffle":
             cap = None if mode == "broadcast" else BROADCAST_MAX_VERTICES
             if bsp_ok and mode == "auto":
