@@ -84,9 +84,10 @@ def label_propagation(
     pass, and the driver applies the min + changed-count.  Beyond the gate
     auto uses ``"sharded"`` (labels sharded in the object store, one
     emit/apply task round per superstep, identical sweep semantics, no
-    state envelope) when there is no explicit vertex set or checkpointer;
+    state envelope) when there is no explicit vertex set — checkpoints
+    there are per-shard raw-task Parquet writes (resumable across modes);
     ``"shuffle"`` keeps all vertex state distributed as dataflow (join +
-    min-reduce per superstep) and retains checkpoint/vertex support.
+    min-reduce per superstep) and retains explicit-vertex support.
     """
     from linkgraph.runtime import tune_context
 
@@ -95,11 +96,13 @@ def label_propagation(
     ckpt = checkpointer or Checkpointer(None)
 
     if mode == "sharded":
-        if vertices is not None or checkpointer is not None:
+        if vertices is not None:
             raise ValueError(
-                "sharded mode supports neither explicit vertices nor checkpoints"
+                "sharded mode derives its vertex set from the edge endpoints"
             )
-        return _labelprop_sharded(edges, max_iters)
+        return _labelprop_sharded(
+            edges, max_iters, checkpointer=checkpointer, resume=resume
+        )
     if mode in ("auto", "broadcast"):
         res = _labelprop_broadcast(
             edges, vertices, num_partitions, checkpointer, ckpt, resume,
@@ -107,10 +110,13 @@ def label_propagation(
         )
         if isinstance(res, CCResult):
             return res
-        if res is not None and vertices is None and checkpointer is None:
+        if res is not None and vertices is None:
             # beyond the broadcast gate: reuse the already-paid exchange
             # (res = its sorted block refs) for the sharded supersteps
-            return _labelprop_sharded(edges, max_iters, sorted_refs=res)
+            return _labelprop_sharded(
+                edges, max_iters, sorted_refs=res,
+                checkpointer=checkpointer, resume=resume,
+            )
     elif mode != "shuffle":
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -221,8 +227,26 @@ def _label_state_ds(ids: np.ndarray, labels: np.ndarray, changed: np.ndarray) ->
     return rd.from_arrow(tables if len(tables) > 1 else tables[0])
 
 
+@ray.remote(num_cpus=1)
+def _sharded_state_table(prep, labels: np.ndarray) -> pa.Table:
+    """(vertex, label, changed=1) checkpoint shard — the conservative
+    all-active ``changed`` keeps a frontier-mode dataflow resume correct."""
+    return pa.table(
+        {
+            "vertex": prep[0],
+            "label": labels,
+            "changed": np.ones(len(labels), dtype=np.int8),
+        }
+    )
+
+
 def _labelprop_sharded(
-    edges, max_iters: int, sorted_refs: list | None = None
+    edges,
+    max_iters: int,
+    sorted_refs: list | None = None,
+    checkpointer: Checkpointer | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> CCResult:
     """Beyond-gate label propagation: labels sharded in the object store
     (one shard per dst-sorted block, aligned vertex ranges), one
@@ -231,7 +255,9 @@ def _labelprop_sharded(
     (same iteration counts), no per-node state envelope, and nothing
     per-vertex on the driver.  No pointer jumping: LP reports
     iterations-to-convergence of the plain sweep (ref
-    ``src/mpi/cc_mpi.c:388-571`` semantics)."""
+    ``src/mpi/cc_mpi.c:388-571`` semantics).  Checkpoints are per-shard
+    raw-task Parquet writes; resume re-runs the deterministic prep and
+    re-matches state by vertex id."""
     import ray
 
     t0 = time.perf_counter()
@@ -255,10 +281,19 @@ def _labelprop_sharded(
         )
         return CCResult(empty, 0, 0, metrics)
     firsts_ref = ray.put(firsts)
-    labels = [bsp.init_labels.remote(p) for p in preps]
+    start = 1
+    labels = None
+    if resume and checkpointer is not None:
+        latest = checkpointer.load_shards(preps, firsts, "label", default=None)
+        if latest is not None:
+            last_it, labels, meta = latest
+            start = last_it + 1
+            metrics.append(meta)
+    if labels is None:
+        labels = [bsp.init_labels.remote(p) for p in preps]
 
     iters = 0
-    for it in range(1, max_iters + 1):
+    for it in range(start, start + max_iters):
         t1 = time.perf_counter()
         emits = [
             bsp.sharded_min_emit.options(num_returns=k).remote(
@@ -281,6 +316,13 @@ def _labelprop_sharded(
             {"phase": "superstep", "iteration": it, "changed": changed,
              "mode": "sharded", "wall_s": time.perf_counter() - t1}
         )
+        if checkpointer is not None and (changed == 0 or it % checkpoint_every == 0):
+            checkpointer.save_shards(
+                it,
+                [_sharded_state_table.remote(preps[j], labels[j]) for j in range(k)],
+                {"iteration": it, "changed": changed, "mode": "sharded",
+                 "num_vertices": num_v},
+            )
         if changed == 0:
             break
     else:

@@ -201,7 +201,13 @@ def _bsp_ranks_table(prep, rank_vec) -> pa.Table:
 
 
 def _pagerank_bsp_shuffle(
-    parted_refs: list, damping: float, tol: float, max_iters: int
+    parted_refs: list,
+    damping: float,
+    tol: float,
+    max_iters: int,
+    checkpointer: Checkpointer | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> PageRankResult:
     """Scale-path PageRank over the dst-sorted incidence blocks: per-vertex
     state lives sharded in the object store (one shard per block, aligned
@@ -232,14 +238,25 @@ def _pagerank_bsp_shuffle(
         return PageRankResult(empty, 0, 0, metrics)
     firsts_ref = ray.put(firsts)
     r0 = 1.0 / num_v
-    ranks = [_bsp_full_vec.remote(n, r0) for n in counts]
+    start = 1
+    ranks = None
+    if resume and checkpointer is not None:
+        # state is re-matched by vertex id, so the checkpoint's shard
+        # layout (or mode) need not match this run's
+        latest = checkpointer.load_shards(preps, firsts, "rank", default=r0)
+        if latest is not None:
+            last_it, ranks, meta = latest
+            start = last_it + 1
+            metrics.append(meta)
+    if ranks is None:
+        ranks = [_bsp_full_vec.remote(n, r0) for n in counts]
     metrics.append(
         {"phase": "bsp_prep", "num_vertices": num_v, "wall_s": time.perf_counter() - t0}
     )
 
     teleport = (1.0 - damping) / num_v  # no dangling mass post-symmetrize
     iters = 0
-    for it in range(1, max_iters + 1):
+    for it in range(start, start + max_iters):
         t1 = time.perf_counter()
         emits = [
             _bsp_shuffle_emit.options(num_returns=k).remote(preps[i], ranks[i], firsts_ref)
@@ -260,7 +277,15 @@ def _pagerank_bsp_shuffle(
             {"iteration": it, "l1_delta": delta, "dangling_mass": 0.0,
              "mode": "shuffle", "wall_s": time.perf_counter() - t1}
         )
-        if tol > 0 and delta < tol:
+        converged = tol > 0 and delta < tol
+        if checkpointer is not None and (converged or it % checkpoint_every == 0):
+            checkpointer.save_shards(
+                it,
+                [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)],
+                {"iteration": it, "l1_delta": delta, "dangling_mass": 0.0,
+                 "num_vertices": num_v, "mode": "shuffle"},
+            )
+        if converged:
             break
     else:
         if tol > 0:
@@ -376,8 +401,7 @@ def pagerank(
     # deduped (dst, src)-sorted incidence table; degrees, the vertex count,
     # and the broadcast-mode gather index all fall out of it shuffle-free
     fast_undirected = not directed and vertices is None
-    bsp_ok = checkpointer is None and not resume
-    if fast_undirected and (mode in ("auto", "broadcast") or (mode == "shuffle" and bsp_ok)):
+    if fast_undirected and mode in ("auto", "broadcast", "shuffle"):
         sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
         # raw-task range exchange by dst (bsp.raw_dst_exchange): equal dst
         # values co-locate, and dedup_sort_src folds the global dedup +
@@ -391,7 +415,7 @@ def pagerank(
         # the vertex count exceeds the gate (>50M-vertex scale path).
         if mode != "shuffle":
             cap = None if mode == "broadcast" else BROADCAST_MAX_VERTICES
-            if bsp_ok and mode == "auto":
+            if mode == "auto":
                 cap = BSP_MIN_VERTICES  # hand off to BSP at the crossover
             futs = [_deg_dst_task.remote(b) for b in parted_refs]
             vparts, dparts, total, fits = [], [], 0, True
@@ -410,12 +434,14 @@ def pagerank(
                     parted_refs, vid, degv, ckpt, damping, tol, max_iters,
                     checkpointer, checkpoint_every, resume,
                 )
-        if bsp_ok:
-            # >gate vertex count (or forced shuffle): BSP over the same
-            # dst-sorted blocks — state sharded in the object store, no
-            # re-shuffle of the edge table per superstep
-            return _pagerank_bsp_shuffle(parted_refs, damping, tol, max_iters)
-        mode = "shuffle"  # checkpointed scale path: generic dataflow below
+        # >gate vertex count (or forced shuffle): BSP over the same
+        # dst-sorted blocks — state sharded in the object store, no
+        # re-shuffle of the edge table per superstep; checkpoints are
+        # per-shard raw-task Parquet writes (Checkpointer.save_shards)
+        return _pagerank_bsp_shuffle(
+            parted_refs, damping, tol, max_iters,
+            checkpointer, checkpoint_every, resume,
+        )
     if fast_undirected:
         # shuffle-mode prep (>50M vertices): src-keyed weighted edge table
         sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))

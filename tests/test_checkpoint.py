@@ -84,6 +84,82 @@ def test_lp_resume(tmp_ckpt):
     assert labels_dict(resumed.labels) == labels_dict(full.labels)
 
 
+def _truncate_checkpoints(src_dir: str, keep_n: int) -> None:
+    iters = sorted(n for n in os.listdir(src_dir) if n.startswith("iter_"))
+    for name in iters[keep_n:]:
+        shutil.rmtree(os.path.join(src_dir, name))
+
+
+def test_pagerank_bsp_sharded_checkpoint_resume(tmp_ckpt):
+    """The BSP scale path checkpoints per-shard state and resumes to the
+    same scores as the uninterrupted run (state re-matched by vertex id)."""
+    edges, _ = synth.make_planted_graph(3_000, 4, 5, seed=31)
+    ck = Checkpointer(tmp_ckpt, "prbsp")
+    full = pagerank(
+        G.from_arrow_edges(edges), directed=False, mode="shuffle",
+        tol=0.0, max_iters=5, checkpointer=ck,
+    )
+    assert full.metrics[-1]["mode"] == "shuffle"  # BSP path engaged
+    d = os.path.join(tmp_ckpt, "prbsp")
+    assert len([n for n in os.listdir(d) if n.startswith("iter_")]) == 5
+    with open(os.path.join(d, "iter_0005", "_metrics.json")) as f:
+        meta = json.load(f)
+    assert "sharded_parts" in meta and meta["num_vertices"] == full.num_vertices
+    # crash after superstep 2: drop iters 3-5, resume for the remaining 3
+    _truncate_checkpoints(d, 2)
+    resumed = pagerank(
+        G.from_arrow_edges(edges), directed=False, mode="shuffle",
+        tol=0.0, max_iters=3, checkpointer=ck, resume=True,
+    )
+    want = {r["vertex"]: r["rank"] for r in full.ranks.take_all()}
+    got = {r["vertex"]: r["rank"] for r in resumed.ranks.take_all()}
+    assert want.keys() == got.keys()
+    assert all(abs(want[v] - got[v]) < 1e-12 for v in want)
+
+
+def test_lp_sharded_checkpoint_resume(tmp_ckpt):
+    edges, _ = synth.make_planted_graph(2_000, 4, 5, seed=37)
+    ck = Checkpointer(tmp_ckpt, "lpsh")
+    full = label_propagation(
+        G.from_arrow_edges(edges), mode="sharded", checkpointer=ck,
+    )
+    d = os.path.join(tmp_ckpt, "lpsh")
+    n_ck = len([n for n in os.listdir(d) if n.startswith("iter_")])
+    assert n_ck == full.num_iterations
+    _truncate_checkpoints(d, max(1, n_ck // 2))
+    resumed = label_propagation(
+        G.from_arrow_edges(edges), mode="sharded", checkpointer=ck, resume=True,
+    )
+    assert labels_dict(resumed.labels) == labels_dict(full.labels)
+    assert resumed.num_components == full.num_components
+
+
+def test_sharded_checkpoint_cross_mode_resume(tmp_ckpt):
+    """A checkpoint written by the sharded LP path resumes on the dataflow
+    (shuffle) path — the parts are ordinary (vertex, label, changed)
+    Parquet — and vice versa via footer-statistics range discovery."""
+    edges, _ = synth.make_planted_graph(600, 3, 4, seed=41)
+    ck = Checkpointer(tmp_ckpt, "xmode")
+    full = label_propagation(
+        G.from_arrow_edges(edges), mode="sharded", checkpointer=ck,
+    )
+    resumed = label_propagation(
+        G.from_arrow_edges(edges), mode="shuffle", num_partitions=2,
+        checkpointer=ck, resume=True,
+    )
+    assert labels_dict(resumed.labels) == labels_dict(full.labels)
+    # and dataflow-written state resumes on the sharded path
+    ck2 = Checkpointer(tmp_ckpt, "xmode2")
+    full2 = label_propagation(
+        G.from_arrow_edges(edges), mode="shuffle", num_partitions=2,
+        checkpointer=ck2,
+    )
+    resumed2 = label_propagation(
+        G.from_arrow_edges(edges), mode="sharded", checkpointer=ck2, resume=True,
+    )
+    assert labels_dict(resumed2.labels) == labels_dict(full2.labels)
+
+
 def test_pagerank_checkpoint_metrics(tmp_ckpt):
     edges, _ = synth.golden_micro()
     res = pagerank(
