@@ -90,6 +90,18 @@ def _triangles(sf_dir: str):
     return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
 
 
+def _triangles_bsp(sf_dir: str):
+    """Same count as ``triangle_count`` via the raw-task BSP scale path
+    (no degree broadcast, no joins — see linkgraph/triangles_bsp.py)."""
+    import ray.data as rd
+
+    from linkgraph.pipelines import copurchase_edges
+    from linkgraph.triangles_bsp import triangle_count_bsp
+
+    n = triangle_count_bsp(copurchase_edges(sf_dir))
+    return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
 def _extraction_cc(sf_dir: str):
     """North-rule pipeline on deterministic synthetic pages (no pages table
     exists in the sf dirs): pages → href extraction → CC label table."""
@@ -225,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_labels": _labelprop,
         "pagerank_top100": _pagerank_top100,
         "triangle_count": _triangles,
+        "triangle_count_bsp": _triangles_bsp,
         "extraction_cc": _extraction_cc,
         # training-data operators (rows-only; property-tested in tests/)
         "minhash_dedup": _minhash_dedup,
@@ -335,6 +348,28 @@ def oracle_sql() -> dict[str, str]:
                    max(degree) AS max_degree,
                    round(avg(degree), 6) AS avg_degree
             FROM deg
+        """,
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+        """,
+        "triangle_count_bsp": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
         """,
         "knn_vec0_top10": """
             SELECT e2.vec_id AS vec_id,
