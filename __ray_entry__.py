@@ -86,7 +86,7 @@ def _triangles(sf_dir: str):
     from linkgraph.pipelines import copurchase_edges
     from linkgraph.triangles import triangle_count
 
-    n = triangle_count(copurchase_edges(sf_dir), num_partitions=8)
+    n = triangle_count(copurchase_edges(sf_dir), num_partitions=8, mode="dataflow")
     return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
 
 

@@ -109,12 +109,25 @@ def orient_by_degree(
 
 
 def triangle_count(
-    edges: rd.Dataset, *, num_partitions: int | None = None
+    edges: rd.Dataset, *, num_partitions: int | None = None, mode: str = "auto"
 ) -> int:
-    """Exact global triangle count of the undirected simple graph."""
+    """Exact global triangle count of the undirected simple graph.
+
+    ``mode="auto"`` (and ``"bsp"``) uses the raw-task BSP path
+    (``linkgraph.triangles_bsp``): one range exchange, a degree
+    request/reply round instead of a degree broadcast or join, and
+    owner-side wedge closing — no state envelope at any vertex count.
+    ``mode="dataflow"`` keeps the join-based pipeline below (degree
+    broadcast under 50 M vertices, bucketed joins above)."""
     from linkgraph.runtime import tune_context
 
     tune_context()
+    if mode in ("auto", "bsp"):
+        from linkgraph.triangles_bsp import triangle_count_bsp
+
+        return triangle_count_bsp(edges)
+    if mode != "dataflow":
+        raise ValueError(f"unknown mode {mode!r}")
     num_partitions = num_partitions or G.default_partitions()
     canon = G.canonicalize(edges, global_dedup=True).materialize()
     # coalesce join-fragmented blocks before the double-consumed materialize

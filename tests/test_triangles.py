@@ -1,4 +1,6 @@
-"""Triangle counting vs brute force (FIXTURES.md §6)."""
+"""Dataflow-path triangle counting vs brute force (FIXTURES.md §6).
+
+The default (BSP) path is covered in test_triangles_bsp.py."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,7 +11,7 @@ from linkgraph.triangles import triangle_count
 
 def test_golden_micro_triangles():
     edges, _ = synth.golden_micro()
-    assert triangle_count(G.from_arrow_edges(edges), num_partitions=2) == 1
+    assert triangle_count(G.from_arrow_edges(edges), num_partitions=2, mode="dataflow") == 1
 
 
 def test_clique_k5():
@@ -22,7 +24,7 @@ def test_clique_k5():
     edges = pa.table(
         {"src": np.array(src, dtype=np.int64), "dst": np.array(dst, dtype=np.int64)}
     )
-    assert triangle_count(G.from_arrow_edges(edges), num_partitions=2) == 10
+    assert triangle_count(G.from_arrow_edges(edges), num_partitions=2, mode="dataflow") == 10
 
 
 def test_random_graph_vs_bruteforce():
@@ -33,7 +35,7 @@ def test_random_graph_vs_bruteforce():
     dst = rng.integers(0, n, m).astype(np.int64)
     edges = pa.table({"src": src, "dst": dst})
     expected = oracle.triangle_count(src, dst)
-    assert triangle_count(G.from_arrow_edges(edges), num_partitions=4) == expected
+    assert triangle_count(G.from_arrow_edges(edges), num_partitions=4, mode="dataflow") == expected
 
 
 def test_parallel_edges_do_not_inflate():
@@ -43,4 +45,4 @@ def test_parallel_edges_do_not_inflate():
             "dst": np.array([1, 1, 2, 2, 0, 2], dtype=np.int64),
         }
     )
-    assert triangle_count(G.from_arrow_edges(edges), num_partitions=2) == 1
+    assert triangle_count(G.from_arrow_edges(edges), num_partitions=2, mode="dataflow") == 1

@@ -65,4 +65,4 @@ def test_matches_dataflow_on_planted_graph():
 
     edges, _ = synth.make_planted_graph(2_000, 4, 5, seed=53)
     ds = G.from_arrow_edges(edges)
-    assert triangle_count_bsp(ds) == triangle_count(ds, num_partitions=4)
+    assert triangle_count_bsp(ds) == triangle_count(ds, num_partitions=4, mode="dataflow")
