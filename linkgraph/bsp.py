@@ -86,17 +86,20 @@ def _range_split_task(block, bounds: np.ndarray) -> list:
     ]
 
 
-@ray.remote(num_cpus=1, num_returns=2)
+@ray.remote(num_cpus=1, num_returns=3)
 def _merge_range_task(dedup_sort_src: bool, *chunks):
-    """Concatenate one range's chunks → dst-sorted table + its row count.
+    """Concatenate one range's chunks → dst-sorted table + its row count +
+    its unique-dst count (exact and globally additive: ranges are disjoint
+    and own every copy of their dst values — the vertex count falls out of
+    the exchange for free, so no consumer pays a probe for it).
 
     ``dedup_sort_src=True`` additionally sorts src within each dst run and
-    drops exact duplicate rows — a GLOBAL dedup, valid because the range
-    owns every copy of its dst values."""
+    drops exact duplicate rows — a GLOBAL dedup, valid for the same
+    reason."""
     ss = [c["src"].to_numpy(zero_copy_only=False) for c in chunks if len(c)]
     if not ss:
         e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        return e, 0
+        return e, 0, 0
     s = np.concatenate(ss)
     d = np.concatenate([c["dst"].to_numpy(zero_copy_only=False) for c in chunks if len(c)])
     if dedup_sort_src:
@@ -109,34 +112,38 @@ def _merge_range_task(dedup_sort_src: bool, *chunks):
     else:
         order = np.argsort(d, kind="stable")
         s, d = s[order], d[order]
-    return pa.table({"src": s, "dst": d}), int(len(s))
+    nuniq = 1 + int((d[1:] != d[:-1]).sum())
+    return pa.table({"src": s, "dst": d}), int(len(s)), nuniq
 
 
 def raw_dst_exchange(
     sym_edges: rd.Dataset, *, dedup_sort_src: bool = False, samples_per_block: int = 2000
-) -> tuple[list, int]:
+) -> tuple[list, int, int]:
     """Range-exchange a (src, dst) dataset by ``dst`` with raw tasks.
 
-    Returns ``(block refs, total rows)``; the refs satisfy the partitioning
-    contract above and feed every sharded/broadcast consumer directly.
-    Wrap with ``ray.data.from_arrow_refs`` where a Dataset is needed."""
+    Returns ``(block refs, total rows, unique dst count)``; the refs
+    satisfy the partitioning contract above and feed every
+    sharded/broadcast consumer directly.  Post-symmetrize the unique-dst
+    count IS the vertex count — every per-node-envelope gate reads it here
+    instead of paying a separate probe.  Wrap the refs with
+    ``ray.data.from_arrow_refs`` where a Dataset is needed."""
     pre = sym_edges.materialize()
     refs = dataset_block_refs(pre)
     if not refs:
-        return [], 0
+        return [], 0, 0
     k = len(refs)
     samples = ray.get([_sample_dst_task.remote(r, samples_per_block) for r in refs])
     samples = [x for x in samples if len(x)]
     if not samples:
-        merged = [_merge_range_task.remote(dedup_sort_src, *refs)]
-        return [merged[0][0]], int(ray.get(merged[0][1]))
+        m = _merge_range_task.remote(dedup_sort_src, *refs)
+        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
     alls = np.sort(np.concatenate(samples))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)  # duplicate boundaries → empty ranges, drop
     nk = len(bounds) + 1
     if nk == 1:  # degenerate key range: merge everything into one block
         m = _merge_range_task.remote(dedup_sort_src, *refs)
-        return [m[0]], int(ray.get(m[1]))
+        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
     bref = ray.put(bounds)
     parts = [
         _range_split_task.options(num_returns=nk).remote(r, bref) for r in refs
@@ -145,8 +152,10 @@ def raw_dst_exchange(
         _merge_range_task.remote(dedup_sort_src, *[parts[i][j] for i in range(k)])
         for j in range(nk)
     ]
-    n = int(sum(ray.get([m[1] for m in merged])))
-    return [m[0] for m in merged], n
+    counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
+    n = int(sum(counts[: len(merged)]))
+    n_uniq = int(sum(counts[len(merged) :]))
+    return [m[0] for m in merged], n, n_uniq
 
 
 def dataset_block_refs(ds: rd.Dataset) -> list:
@@ -237,13 +246,16 @@ def positional_index(block_refs: list, ids: np.ndarray, *, dedup: bool = False) 
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def sharded_prep(block):
+def sharded_prep(block, presorted: bool = False):
     """One dst-sorted symmetrized block → static emit arrays + metadata.
 
     Local vertex set = unique dst (blocks are dst-disjoint); rows are
     re-read as dst→src pushes (the symmetrized table carries both
     directions), deduped block-locally (= globally, dst-disjoint) and
     re-sorted once by the push target so each emit is one ``reduceat``.
+    ``presorted=True`` skips the lexsort + dedup — valid when the exchange
+    already ran with ``dedup_sort_src=True`` (the rows arrive globally
+    deduped in (dst, src) order).
     Returns ``(vids, tgt_unique, tgt_starts, i_local)`` and ``(n, first)``.
     """
     empty = (
@@ -256,12 +268,13 @@ def sharded_prep(block):
         return empty, (0, 0)
     s = block["src"].to_numpy(zero_copy_only=False)
     d = block["dst"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((s, d))
-    s, d = s[order], d[order]
-    keep = np.empty(len(s), dtype=bool)
-    keep[0] = True
-    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
-    s, d = s[keep], d[keep]
+    if not presorted:
+        order = np.lexsort((s, d))
+        s, d = s[order], d[order]
+        keep = np.empty(len(s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        s, d = s[keep], d[keep]
     change = np.empty(len(d), dtype=bool)
     change[0] = True
     np.not_equal(d[1:], d[:-1], out=change[1:])

@@ -333,6 +333,7 @@ def _sharded_finish(
     rounds_so_far: int,
     metrics: list[dict[str, Any]],
     max_rounds: int,
+    presorted: bool = False,
 ) -> CCResult:
     """Finish CC beyond the driver-broadcast gate: labels sharded in the
     object store (one shard per dst-sorted block, aligned vertex ranges),
@@ -348,7 +349,7 @@ def _sharded_finish(
 
     t0 = time.perf_counter()
     sorted_refs = bsp.dataset_block_refs(edges_dst)
-    pairs2 = [bsp.sharded_prep.remote(b) for b in sorted_refs]
+    pairs2 = [bsp.sharded_prep.remote(b, presorted) for b in sorted_refs]
     metas = ray.get([p[1] for p in pairs2])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
     preps = [pairs2[i][0] for i in keep]
@@ -444,6 +445,7 @@ def _broadcast_finish(
     max_rounds: int,
     sorted_refs: list | None = None,
     ids: np.ndarray | None = None,
+    deduped: bool = False,
 ) -> CCResult:
     """Finish CC on the dst-sorted symmetrized contracted pairs with
     broadcast supersteps.
@@ -474,9 +476,10 @@ def _broadcast_finish(
     if ids is None:
         ids = bsp.vertex_ids(sorted_refs)
     num_v = len(ids)
-    # contracted pairs carry cross-block duplicates (contract dedups only
-    # block-locally); dedup during the index rewrite is free and global here
-    block_refs = bsp.positional_index(sorted_refs, ids, dedup=True)
+    # cross-block duplicate pairs are dropped in the index rewrite unless
+    # the exchange merge already deduped (dedup_sort_src), in which case the
+    # rewrite's dedup pass would be a pure no-op cost — skip it
+    block_refs = bsp.positional_index(sorted_refs, ids, dedup=not deduped)
     metrics.append(
         {"phase": "bsp_index", "wall_s": time.perf_counter() - t0, "num_vertices": num_v}
     )
@@ -625,11 +628,19 @@ def connected_components(
         # block by construction (each child appears once), and the fused
         # chain never mixes blocks — both block dedups were measured as
         # pure UDF cost (~7 s CPU per 2 M-row task, no rows dropped)
+        # dedup_sort_src folds the cross-block pair dedup (contract dedups
+        # only block-locally; 2× inflation observed at 64 M edges) and the
+        # (dst, src) order into the exchange merge — downstream prep skips
+        # its lexsort+dedup, and the exchange's unique-dst count IS the
+        # vertex count, so the gate below needs no probe
         lazy_pairs = contract(G.orient_lo_hi(edges), contract_batch_size)
-        raw_refs, n_rows = bsp.raw_dst_exchange(G.symmetrize_block(lazy_pairs))
+        raw_refs, n_rows, n_vert = bsp.raw_dst_exchange(
+            G.symmetrize_block(lazy_pairs), dedup_sort_src=True
+        )
         edges_dst = rd.from_arrow_refs(raw_refs)
         metrics.append(
-            {"phase": "contract_sym_sort", "wall_s": time.perf_counter() - t0}
+            {"phase": "contract_sym_sort", "wall_s": time.perf_counter() - t0,
+             "num_vertices": n_vert}
         )
         start_round = 1
         n_pairs = (n_rows + 1) // 2
@@ -660,49 +671,36 @@ def connected_components(
             pairs if pairs is not None else edges_dst, rounds, metrics, verts
         )
     if verts is None and 0 < n_pairs and mode != "shuffle":
-        if mode == "sharded":
-            if edges_dst is None:
-                t0 = time.perf_counter()
-                refs2, _ = bsp.raw_dst_exchange(G.dedup_block(G.symmetrize_block(pairs)))
-                edges_dst = rd.from_arrow_refs(refs2)
-                metrics.append(
-                    {"phase": "sym_sort", "wall_s": time.perf_counter() - t0}
-                )
-            return _sharded_finish(edges_dst, rounds, metrics, max_rounds)
-        if mode == "broadcast" or n_pairs <= CC_BROADCAST_MAX_PAIRS:
-            if edges_dst is None:
-                t0 = time.perf_counter()
-                refs2, _ = bsp.raw_dst_exchange(G.dedup_block(G.symmetrize_block(pairs)))
-                edges_dst = rd.from_arrow_refs(refs2)
-                metrics.append(
-                    {"phase": "sym_sort", "wall_s": time.perf_counter() - t0}
-                )
-            return _broadcast_finish(edges_dst, rounds, metrics, max_rounds)
-        if edges_dst is not None:
-            # the pair count over-estimates: contract dedups only
-            # block-locally, so cross-block duplicate pairs inflate it (2×
-            # observed at 64 M edges).  The broadcast envelope is really the
-            # per-VERTEX state vector — measure it exactly with cheap raw
-            # tasks over the already-sorted dst-disjoint blocks before
-            # falling back to the star rounds.
+        if edges_dst is None and (
+            mode in ("sharded", "broadcast") or n_pairs <= CC_BROADCAST_MAX_PAIRS
+        ):
+            # checkpointed path: the fused exchange didn't run; pay it now
             t0 = time.perf_counter()
-            sorted_refs = bsp.dataset_block_refs(edges_dst)
-            ids = bsp.vertex_ids(sorted_refs)
-            metrics.append(
-                {
-                    "phase": "vertex_gate",
-                    "wall_s": time.perf_counter() - t0,
-                    "num_vertices": len(ids),
-                }
+            refs2, _, n_vert = bsp.raw_dst_exchange(
+                G.symmetrize_block(pairs), dedup_sort_src=True
             )
-            if len(ids) <= CC_BROADCAST_MAX_PAIRS:
-                return _broadcast_finish(
-                    edges_dst, rounds, metrics, max_rounds, sorted_refs, ids
+            edges_dst = rd.from_arrow_refs(refs2)
+            metrics.append(
+                {"phase": "sym_sort", "wall_s": time.perf_counter() - t0,
+                 "num_vertices": n_vert}
+            )
+        if edges_dst is not None:
+            # the per-node broadcast envelope is the per-VERTEX state
+            # vector; its exact size (the unique-dst count) fell out of the
+            # exchange merge for free — no probe, and no id fetch until the
+            # broadcast finish actually builds the vector
+            if mode == "sharded" or (
+                mode == "auto" and n_vert > CC_BROADCAST_MAX_PAIRS
+            ):
+                # beyond the per-node state envelope: sharded labels, no
+                # driver round-trip (the star rounds remain only for forced
+                # mode="shuffle" and explicit vertex sets)
+                return _sharded_finish(
+                    edges_dst, rounds, metrics, max_rounds, presorted=True
                 )
-            # beyond the per-node state envelope: sharded labels, no
-            # driver round-trip (the star rounds remain only for forced
-            # mode="shuffle" and explicit vertex sets)
-            return _sharded_finish(edges_dst, rounds, metrics, max_rounds)
+            return _broadcast_finish(
+                edges_dst, rounds, metrics, max_rounds, deduped=True
+            )
 
     if pairs is None:
         # the fused prep landed on the star path (beyond-gate size, forced

@@ -262,9 +262,11 @@ def _labelprop_sharded(
 
     t0 = time.perf_counter()
     if sorted_refs is None:
-        sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-        sorted_refs, _ = bsp.raw_dst_exchange(sym)
-    pairs2 = [bsp.sharded_prep.remote(b) for b in sorted_refs]
+        sym = G.symmetrize_block(G.orient_lo_hi(G.drop_self_loops(edges)))
+        sorted_refs, _, _ = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+    # both producers (here and _labelprop_broadcast) dedup+sort in the
+    # exchange merge, so the prep skips its lexsort+dedup
+    pairs2 = [bsp.sharded_prep.remote(b, True) for b in sorted_refs]
     metas = ray.get([p[1] for p in pairs2])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
     preps = [pairs2[i][0] for i in keep]
@@ -349,11 +351,16 @@ def _labelprop_broadcast(
     import ray
 
     # one-pass symmetrize (union-based symmetrize would scan the input
-    # twice); range exchange: equal dst values co-locate and arrive
-    # pre-sorted, so per-block candidate minima are global and emit needs
-    # no re-sort — all of it one fused streaming execution
-    sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-    sorted_refs, _n_rows = bsp.raw_dst_exchange(sym)
+    # twice); range exchange with the global dedup + (dst, src) order
+    # folded into the merge: equal dst values co-locate pre-sorted, so
+    # per-block candidate minima are global and emit needs no re-sort —
+    # all of it one fused streaming execution.  The merge's unique-dst
+    # count is the exact vertex count, so the beyond-gate bail-out costs
+    # no id fetch (explicit vertices can only grow the set).
+    sym = G.symmetrize_block(G.orient_lo_hi(G.drop_self_loops(edges)))
+    sorted_refs, _n_rows, n_vert = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+    if n_vert > BROADCAST_MAX_VERTICES and not strict:
+        return sorted_refs
     extra = (
         [
             b["vertex"].to_numpy(zero_copy_only=False)
@@ -391,11 +398,9 @@ def _labelprop_broadcast(
     # one-time positional index + raw-task supersteps (see linkgraph.bsp:
     # the label vector round-trips through the driver every superstep
     # anyway, and a Ray Data execution costs ~2 s of executor startup for
-    # ms of work); blocks are dst-disjoint, so candidates never overlap
-    # dedup=True: the superstep is a pure segment-min, so duplicate edges
-    # (the input is only block-locally deduped) are dead weight — the index
-    # rewrite drops them globally for free (blocks are dst-disjoint)
-    block_refs = bsp.positional_index(sorted_refs, ids, dedup=True)
+    # ms of work); blocks are dst-disjoint, so candidates never overlap.
+    # dedup=False: the exchange merge already deduped globally
+    block_refs = bsp.positional_index(sorted_refs, ids, dedup=False)
 
     iters = 0
     for it in range(start, start + max_iters):

@@ -407,27 +407,24 @@ def pagerank(
         # values co-locate, and dedup_sort_src folds the global dedup +
         # (dst, src) block order into the merge — the per-range owner holds
         # every copy of its dst values, so block-local dedup is global
-        parted_refs, _n_rows = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+        parted_refs, _n_rows, n_vert = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
         # raw-task degree extraction over the sorted block refs (no extra
         # execution): dst-disjoint sorted blocks make the per-block
         # (vertex, degree) segments exact and globally disjoint.  The
-        # accumulate doubles as the broadcast-fits probe — it aborts once
-        # the vertex count exceeds the gate (>50M-vertex scale path).
+        # exchange merge already measured the exact vertex count, so the
+        # beyond-gate handoff to BSP costs no degree pull at all.
         if mode != "shuffle":
             cap = None if mode == "broadcast" else BROADCAST_MAX_VERTICES
             if mode == "auto":
                 cap = BSP_MIN_VERTICES  # hand off to BSP at the crossover
-            futs = [_deg_dst_task.remote(b) for b in parted_refs]
-            vparts, dparts, total, fits = [], [], 0, True
-            for i in range(0, len(futs), 16):
-                for v_arr, d_arr in ray.get(futs[i : i + 16]):
-                    vparts.append(v_arr)
-                    dparts.append(d_arr)
-                    total += len(v_arr)
-                if cap is not None and total > cap:
-                    fits = False
-                    break
+            fits = cap is None or n_vert <= cap
             if fits:
+                futs = [_deg_dst_task.remote(b) for b in parted_refs]
+                vparts, dparts = [], []
+                for i in range(0, len(futs), 16):
+                    for v_arr, d_arr in ray.get(futs[i : i + 16]):
+                        vparts.append(v_arr)
+                        dparts.append(d_arr)
                 vid = np.concatenate(vparts) if vparts else np.empty(0, np.int64)
                 degv = np.concatenate(dparts) if dparts else np.empty(0, np.int64)
                 return _pagerank_broadcast_indexed(
