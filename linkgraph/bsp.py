@@ -158,6 +158,94 @@ def raw_dst_exchange(
     return [m[0] for m in merged], n, n_uniq
 
 
+@ray.remote(num_cpus=1, num_returns=2)
+def _map_sort_sample_task(block, map_fn, n: int):
+    """Apply ``map_fn`` to one input block, sort the result by ``dst``, and
+    return (sorted table, evenly-spaced dst sample).  Fusing the map into
+    the exchange removes a full object-store pass: the map output is never
+    materialized as a separate Dataset and never re-read or re-sorted by
+    the split stage."""
+    e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    if block.num_columns == 0 or len(block) == 0:
+        return e, np.empty(0, np.int64)
+    t = map_fn(block)
+    if len(t) == 0:
+        return e, np.empty(0, np.int64)
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    idx = np.linspace(0, len(d) - 1, min(n, len(d))).astype(np.int64)
+    return pa.table({"src": s, "dst": d}), d[idx]
+
+
+@ray.remote(num_cpus=1)
+def _split_presorted_task(block, bounds: np.ndarray) -> list:
+    """Range-split an already dst-sorted block: one ``searchsorted``, no
+    re-sort.  Chunks are rebuilt from numpy slices rather than
+    ``Table.slice`` — a pickled Arrow slice can carry its whole parent
+    buffer into the object store, K× per block."""
+    k = len(bounds) + 1
+    if block.num_columns == 0 or len(block) == 0:
+        e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return [e] * k if k > 1 else [e]
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    cuts = np.searchsorted(d, bounds, side="left")
+    bpts = np.concatenate([[0], cuts, [len(d)]])
+    return [
+        pa.table({"src": s[bpts[i] : bpts[i + 1]], "dst": d[bpts[i] : bpts[i + 1]]})
+        for i in range(k)
+    ]
+
+
+def raw_map_dst_exchange(
+    ds: rd.Dataset,
+    map_fn,
+    *,
+    dedup_sort_src: bool = False,
+    samples_per_block: int = 2000,
+) -> tuple[list, int, int]:
+    """Fused map + range exchange by ``dst``: ``map_fn`` (a pure
+    Table → (src, dst) Table function) runs inside the sort/sample task of
+    each INPUT block, so only the input and the final ranges ever occupy
+    the object store — the map output is never a materialized
+    intermediate.  Same return contract as :func:`raw_dst_exchange`."""
+    refs = dataset_block_refs(ds.materialize())
+    if not refs:
+        return [], 0, 0
+    k = len(refs)
+    prepped = [
+        _map_sort_sample_task.remote(r, map_fn, samples_per_block) for r in refs
+    ]
+    samples = ray.get([p[1] for p in prepped])
+    sorted_refs = [p[0] for p in prepped]
+    samples = [x for x in samples if len(x)]
+    if not samples:
+        m = _merge_range_task.remote(dedup_sort_src, *sorted_refs)
+        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
+    alls = np.sort(np.concatenate(samples))
+    bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
+    bounds = np.unique(bounds)
+    nk = len(bounds) + 1
+    if nk == 1:
+        m = _merge_range_task.remote(dedup_sort_src, *sorted_refs)
+        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
+    bref = ray.put(bounds)
+    parts = [
+        _split_presorted_task.options(num_returns=nk).remote(r, bref)
+        for r in sorted_refs
+    ]
+    merged = [
+        _merge_range_task.remote(dedup_sort_src, *[parts[i][j] for i in range(k)])
+        for j in range(nk)
+    ]
+    counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
+    n = int(sum(counts[: len(merged)]))
+    n_uniq = int(sum(counts[len(merged) :]))
+    return [m[0] for m in merged], n, n_uniq
+
+
 def dataset_block_refs(ds: rd.Dataset) -> list:
     """Raw object refs of a materialized dataset's Arrow blocks."""
     return [

@@ -131,6 +131,12 @@ def contract(edges: rd.Dataset, batch_size: int | None = None) -> rd.Dataset:
     )
 
 
+def _contract_sym_batch(t: pa.Table) -> pa.Table:
+    """orient → local union-find contraction → one-pass symmetrize, as one
+    pure Table function for the fused exchange (``raw_map_dst_exchange``)."""
+    return G._sym_block_batch(_contract_batch(G._orient_batch(t)))
+
+
 # ---------------------------------------------------------------------------
 # large-star / small-star supersteps
 # ---------------------------------------------------------------------------
@@ -632,11 +638,20 @@ def connected_components(
         # only block-locally; 2× inflation observed at 64 M edges) and the
         # (dst, src) order into the exchange merge — downstream prep skips
         # its lexsort+dedup, and the exchange's unique-dst count IS the
-        # vertex count, so the gate below needs no probe
-        lazy_pairs = contract(G.orient_lo_hi(edges), contract_batch_size)
-        raw_refs, n_rows, n_vert = bsp.raw_dst_exchange(
-            G.symmetrize_block(lazy_pairs), dedup_sort_src=True
-        )
+        # vertex count, so the gate below needs no probe.  The default
+        # (whole-read-block) path fuses orient+contract+symmetrize INTO the
+        # exchange's sort/sample tasks, so the contracted pairs are never a
+        # materialized intermediate; an explicit contract_batch_size keeps
+        # the re-batched Dataset chain.
+        if contract_batch_size is None:
+            raw_refs, n_rows, n_vert = bsp.raw_map_dst_exchange(
+                edges, _contract_sym_batch, dedup_sort_src=True
+            )
+        else:
+            lazy_pairs = contract(G.orient_lo_hi(edges), contract_batch_size)
+            raw_refs, n_rows, n_vert = bsp.raw_dst_exchange(
+                G.symmetrize_block(lazy_pairs), dedup_sort_src=True
+            )
         edges_dst = rd.from_arrow_refs(raw_refs)
         metrics.append(
             {"phase": "contract_sym_sort", "wall_s": time.perf_counter() - t0,

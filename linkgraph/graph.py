@@ -159,6 +159,14 @@ def symmetrize_block(edges: rd.Dataset) -> rd.Dataset:
     return edges.map_batches(_sym_block_batch, batch_format="pyarrow")
 
 
+def sym_prep_batch(t: pa.Table) -> pa.Table:
+    """Per-block kernel prep: drop self-loops, canonical lo/hi orientation,
+    one-pass symmetrize.  A pure Table → Table function so the fused
+    exchange (``bsp.raw_map_dst_exchange``) can run it inside its
+    sort/sample task — no Dataset-materialized intermediate."""
+    return _sym_block_batch(_orient_batch(_drop_self_loops_batch(t)))
+
+
 def out_degrees(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """(vertex, degree) from directed edges — groupby count (one shuffle).
 

@@ -262,8 +262,9 @@ def _labelprop_sharded(
 
     t0 = time.perf_counter()
     if sorted_refs is None:
-        sym = G.symmetrize_block(G.orient_lo_hi(G.drop_self_loops(edges)))
-        sorted_refs, _, _ = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+        sorted_refs, _, _ = bsp.raw_map_dst_exchange(
+            edges, G.sym_prep_batch, dedup_sort_src=True
+        )
     # both producers (here and _labelprop_broadcast) dedup+sort in the
     # exchange merge, so the prep skips its lexsort+dedup
     pairs2 = [bsp.sharded_prep.remote(b, True) for b in sorted_refs]
@@ -350,15 +351,16 @@ def _labelprop_broadcast(
     exchange for the sharded path (or fall through to shuffle)."""
     import ray
 
-    # one-pass symmetrize (union-based symmetrize would scan the input
-    # twice); range exchange with the global dedup + (dst, src) order
-    # folded into the merge: equal dst values co-locate pre-sorted, so
-    # per-block candidate minima are global and emit needs no re-sort —
-    # all of it one fused streaming execution.  The merge's unique-dst
-    # count is the exact vertex count, so the beyond-gate bail-out costs
-    # no id fetch (explicit vertices can only grow the set).
-    sym = G.symmetrize_block(G.orient_lo_hi(G.drop_self_loops(edges)))
-    sorted_refs, _n_rows, n_vert = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+    # fused exchange: self-loop drop + orientation + one-pass symmetrize
+    # run inside the exchange's sort/sample tasks, the global dedup and the
+    # (dst, src) order fold into its merges, equal dst values co-locate
+    # pre-sorted (per-block candidate minima are global, emit needs no
+    # re-sort), and the merge's unique-dst count is the exact vertex count
+    # — the beyond-gate bail-out costs no id fetch (explicit vertices can
+    # only grow the set).
+    sorted_refs, _n_rows, n_vert = bsp.raw_map_dst_exchange(
+        edges, G.sym_prep_batch, dedup_sort_src=True
+    )
     if n_vert > BROADCAST_MAX_VERTICES and not strict:
         return sorted_refs
     extra = (

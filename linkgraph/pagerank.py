@@ -402,12 +402,14 @@ def pagerank(
     # and the broadcast-mode gather index all fall out of it shuffle-free
     fast_undirected = not directed and vertices is None
     if fast_undirected and mode in ("auto", "broadcast", "shuffle"):
-        sym = G.symmetrize_block(G.dedup_block(G.orient_lo_hi(G.drop_self_loops(edges))))
-        # raw-task range exchange by dst (bsp.raw_dst_exchange): equal dst
-        # values co-locate, and dedup_sort_src folds the global dedup +
+        # fused raw-task range exchange by dst (bsp.raw_map_dst_exchange):
+        # self-loop drop + orientation + one-pass symmetrize run inside the
+        # exchange's own tasks, and dedup_sort_src folds the global dedup +
         # (dst, src) block order into the merge — the per-range owner holds
-        # every copy of its dst values, so block-local dedup is global
-        parted_refs, _n_rows, n_vert = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+        # every copy of its dst values, so the merge-local dedup is global
+        parted_refs, _n_rows, n_vert = bsp.raw_map_dst_exchange(
+            edges, G.sym_prep_batch, dedup_sort_src=True
+        )
         # raw-task degree extraction over the sorted block refs (no extra
         # execution): dst-disjoint sorted blocks make the per-block
         # (vertex, degree) segments exact and globally disjoint.  The

@@ -234,8 +234,9 @@ def triangle_count_bsp(
     from linkgraph.runtime import tune_context
 
     tune_context()
-    sym = G.symmetrize_block(G.orient_lo_hi(G.drop_self_loops(edges)))
-    sorted_refs, _, _ = bsp.raw_dst_exchange(sym, dedup_sort_src=True)
+    sorted_refs, _, _ = bsp.raw_map_dst_exchange(
+        edges, G.sym_prep_batch, dedup_sort_src=True
+    )
     if not sorted_refs:
         return 0
     pairs = [_tri_prep.remote(b) for b in sorted_refs]
