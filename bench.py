@@ -152,6 +152,17 @@ def run_bench() -> dict:
         / queries["pagerank"],
     }
 
+    # --- triangles (BSP path) on the same planted graph ---
+    t0 = time.perf_counter()
+    n_tri = triangle_count(
+        rd.read_parquet(graph_path, override_num_blocks=graph_blocks)
+    )
+    queries["triangles"] = time.perf_counter() - t0
+    detail["triangles"] = {
+        "n_triangles": n_tri,
+        "edges_per_sec": n_edges / queries["triangles"],
+    }
+
     # --- extraction → CC on synthetic pages (north-rule pipeline);
     # fixture generation is cached parquet OUTSIDE the timed region (it is
     # a driver-side Python loop, not part of the pipeline under test), and
