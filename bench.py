@@ -181,7 +181,11 @@ def run_bench() -> dict:
         num_partitions=num_partitions,
     )
     queries["extract_cc"] = time.perf_counter() - t0
-    detail["extract_cc"] = {"components": pres.num_components, "pages": n_pages}
+    detail["extract_cc"] = {
+        "components": pres.num_components,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / queries["extract_cc"], 1),
+    }
 
     # --- relational headline (Q1-shaped aggregate) ---
     t0 = time.perf_counter()

@@ -56,6 +56,19 @@ def dst_sorted(sym_edges: rd.Dataset) -> rd.Dataset:
 # are sorted by ``dst`` within each table, ranges are disjoint and ascending
 # across tables, and ALL rows of an equal dst value land in one table
 # (boundaries split with one consistent ``searchsorted`` side).
+#
+# HUB SKEW: the equal-dst-in-one-table rule concentrates a celebrity
+# vertex's whole in-incidence list in one merge/owner block.  Boundary
+# sampling adapts everywhere else (ranges equalize by row count), so the
+# worst case is ONE block ≈ max in-degree rows — at web scale (10^8
+# in-links ≈ 1.6 GB) large but within a worker heap, and only that block's
+# tasks slow down (the emit side is unaffected: emits split by OWNER range
+# and pre-combine per target, the owner receives ≤ K pre-reduced partials
+# per superstep, exactly the hub-salting shape).  If a future input exceeds
+# the heap, the fix is sub-splitting hot dst runs across blocks and adding
+# an owner-side combine keyed on the split — the consumers that assume
+# dst-disjointness (segment-min/sum) already reduce per dst first, so the
+# extra combine is the only new step.
 # ---------------------------------------------------------------------------
 
 
