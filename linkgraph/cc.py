@@ -535,6 +535,68 @@ def _broadcast_finish(
     return CCResult(labels, num_components, rounds, metrics)
 
 
+_IDENTITY_SENTINEL = np.iinfo(np.int64).max
+
+
+def _fill_identity_block(t: pa.Table) -> pa.Table:
+    """Whole-block (vertex-keyed): per-vertex min label; vertices that only
+    carry the sentinel (explicit-vertex rows with no computed label, i.e.
+    isolated vertices) get their identity label."""
+    if t.num_columns == 0 or len(t) == 0:
+        return _EMPTY_LABELS
+    v = t["vertex"].to_numpy(zero_copy_only=False)
+    l = t["label"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((l, v))
+    v, l = v[order], l[order]
+    change = np.empty(len(v), dtype=bool)
+    change[0] = True
+    np.not_equal(v[1:], v[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    vids = v[starts]
+    lab = l[starts]  # min per vertex = first row after the lexsort
+    return pa.table({"vertex": vids, "label": np.where(lab == _IDENTITY_SENTINEL, vids, lab)})
+
+
+def _attach_explicit_vertices(
+    res: "CCResult",
+    verts: rd.Dataset,
+    n_touched: int,
+    num_partitions: int,
+    metrics: list[dict[str, Any]],
+) -> "CCResult":
+    """Extend a vertex-implicit CC result to an explicit vertex set with ONE
+    vertex-keyed shuffle: sentinel-labeled vertex rows union with the
+    computed labels, and a whole-block min fills isolated vertices with
+    their identity label.  This replaces the O(log² V) star-round fallback
+    for explicit vertex sets at scale (the flagship pages pipeline passes
+    the url-id vertex table); component count grows by exactly the number
+    of vertices no computed label reached."""
+    t0 = time.perf_counter()
+    tagged = verts.map_batches(
+        lambda t: pa.table(
+            {
+                "vertex": t["vertex"],
+                "label": np.full(len(t), _IDENTITY_SENTINEL, dtype=np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    full = (
+        res.labels.union(tagged)
+        .repartition(num_partitions, keys=["vertex"])
+        .map_batches(_fill_identity_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    n_isolated = full.count() - n_touched
+    metrics.append(
+        {"phase": "attach_vertices", "isolated": n_isolated,
+         "wall_s": time.perf_counter() - t0}
+    )
+    return CCResult(
+        full, res.num_components + n_isolated, res.num_iterations, metrics
+    )
+
+
 def _keep_lo(t: pa.Table) -> pa.Table:
     """Recover oriented pairs (src <= dst rows) from a symmetrized table."""
     if t.num_columns == 0 or len(t) == 0:
@@ -589,15 +651,16 @@ def connected_components(
     variants (``src/mpi/cc_mpi.c:388-571``).
 
     ``mode`` — ``"auto"`` finishes mid-size vertex sets (≤
-    ``CC_BROADCAST_MAX_PAIRS``, no explicit ``vertices``) with broadcast
-    supersteps (``_broadcast_finish``) and, beyond the per-node state
-    gate, with sharded supersteps (``_sharded_finish`` — labels sharded in
-    the object store, no envelope); ``"shuffle"`` forces the alternating
-    star rounds; ``"broadcast"`` / ``"sharded"`` force those finishes
-    regardless of size.  Broadcast/sharded modes checkpoint the contract
-    phase only (supersteps re-run on resume — they are a small fraction of
-    the contract cost); the star path keeps full per-superstep
-    checkpoints.
+    ``CC_BROADCAST_MAX_PAIRS``) with broadcast supersteps
+    (``_broadcast_finish``) and, beyond the per-node state gate, with
+    sharded supersteps (``_sharded_finish`` — labels sharded in the
+    object store, no envelope); an explicit ``vertices`` set adds one
+    vertex-keyed shuffle that attaches isolated vertices with identity
+    labels.  ``"shuffle"`` forces the alternating star rounds;
+    ``"broadcast"`` / ``"sharded"`` force those finishes regardless of
+    size.  Broadcast/sharded modes checkpoint the contract phase only
+    (supersteps re-run on resume — they are a small fraction of the
+    contract cost); the star path keeps full per-superstep checkpoints.
     """
     from linkgraph.runtime import tune_context
 
@@ -685,7 +748,7 @@ def connected_components(
         return _local_finish(
             pairs if pairs is not None else edges_dst, rounds, metrics, verts
         )
-    if verts is None and 0 < n_pairs and mode != "shuffle":
+    if 0 < n_pairs and mode != "shuffle":
         if edges_dst is None and (
             mode in ("sharded", "broadcast") or n_pairs <= CC_BROADCAST_MAX_PAIRS
         ):
@@ -708,14 +771,22 @@ def connected_components(
                 mode == "auto" and n_vert > CC_BROADCAST_MAX_PAIRS
             ):
                 # beyond the per-node state envelope: sharded labels, no
-                # driver round-trip (the star rounds remain only for forced
-                # mode="shuffle" and explicit vertex sets)
-                return _sharded_finish(
+                # driver round-trip (the star rounds remain only for
+                # forced mode="shuffle")
+                res = _sharded_finish(
                     edges_dst, rounds, metrics, max_rounds, presorted=True
                 )
-            return _broadcast_finish(
-                edges_dst, rounds, metrics, max_rounds, deduped=True
-            )
+            else:
+                res = _broadcast_finish(
+                    edges_dst, rounds, metrics, max_rounds, deduped=True
+                )
+            if verts is not None:
+                # explicit vertex set: one vertex-keyed shuffle attaches
+                # isolated vertices with identity labels
+                res = _attach_explicit_vertices(
+                    res, verts, n_vert, num_partitions, metrics
+                )
+            return res
 
     if pairs is None:
         # the fused prep landed on the star path (beyond-gate size, forced

@@ -258,3 +258,29 @@ def test_sharded_hub_graph():
         mode="sharded",
     )
     assert res.num_components == 4
+
+
+def test_explicit_vertices_fast_finish_above_threshold():
+    """Explicit vertex set beyond the local-finish threshold takes the
+    broadcast/sharded finish + attach path (not the star rounds) and still
+    labels isolated vertices with their identity."""
+    import ray.data as rd
+
+    from linkgraph import oracle, synth
+
+    edges, _ = synth.make_planted_graph(3_000, 4, 5, seed=61)
+    n = 3_500  # 500 isolated vertices beyond the edge endpoints
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(n, dtype=np.int64)}))
+    res = connected_components(
+        G.from_arrow_edges(edges),
+        vertices=verts,
+        num_partitions=4,
+        local_finish_threshold=0,  # force the distributed finish
+    )
+    assert any(m.get("phase") == "attach_vertices" for m in res.metrics)
+    src = edges["src"].to_numpy(zero_copy_only=False)
+    dst = edges["dst"].to_numpy(zero_copy_only=False)
+    expected = oracle.cc_labels(src, dst, n)
+    got = labels_dict(res.labels)
+    assert got == {i: int(expected[i]) for i in range(n)}
+    assert res.num_components == len(np.unique(expected))
