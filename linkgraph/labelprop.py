@@ -96,13 +96,20 @@ def label_propagation(
     ckpt = checkpointer or Checkpointer(None)
 
     if mode == "sharded":
-        if vertices is not None:
-            raise ValueError(
-                "sharded mode derives its vertex set from the edge endpoints"
-            )
-        return _labelprop_sharded(
+        out = _labelprop_sharded(
             edges, max_iters, checkpointer=checkpointer, resume=resume
         )
+        if vertices is not None:
+            from linkgraph.cc import _attach_explicit_vertices
+
+            n_touched = next(
+                m["num_vertices"] for m in out.metrics
+                if m.get("phase") == "sharded_prep"
+            )
+            out = _attach_explicit_vertices(
+                out, vertices, n_touched, num_partitions, out.metrics
+            )
+        return out
     if mode in ("auto", "broadcast"):
         res = _labelprop_broadcast(
             edges, vertices, num_partitions, checkpointer, ckpt, resume,
@@ -110,13 +117,26 @@ def label_propagation(
         )
         if isinstance(res, CCResult):
             return res
-        if res is not None and vertices is None:
+        if res is not None:
             # beyond the broadcast gate: reuse the already-paid exchange
-            # (res = its sorted block refs) for the sharded supersteps
-            return _labelprop_sharded(
+            # (res = its sorted block refs) for the sharded supersteps; an
+            # explicit vertex set attaches isolated vertices afterwards
+            # with one vertex-keyed shuffle (identity labels), same as CC
+            out = _labelprop_sharded(
                 edges, max_iters, sorted_refs=res,
                 checkpointer=checkpointer, resume=resume,
             )
+            if vertices is not None:
+                from linkgraph.cc import _attach_explicit_vertices
+
+                n_touched = next(
+                    m["num_vertices"] for m in out.metrics
+                    if m.get("phase") == "sharded_prep"
+                )
+                out = _attach_explicit_vertices(
+                    out, vertices, n_touched, num_partitions, out.metrics
+                )
+            return out
     elif mode != "shuffle":
         raise ValueError(f"unknown mode {mode!r}")
 

@@ -80,3 +80,20 @@ def test_sharded_matches_broadcast():
     assert labels_dict(sd.labels) == labels_dict(bc.labels)
     assert sd.num_components == bc.num_components
     assert sd.num_iterations == bc.num_iterations
+
+
+def test_sharded_mode_explicit_vertices():
+    import ray.data as rd
+
+    from linkgraph import oracle
+
+    edges = pa.table(
+        {"src": np.array([1, 2], dtype=np.int64), "dst": np.array([2, 3], dtype=np.int64)}
+    )
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(6, dtype=np.int64)}))
+    res = label_propagation(
+        G.from_arrow_edges(edges), vertices=verts, mode="sharded"
+    )
+    got = {r["vertex"]: r["label"] for r in res.labels.take_all()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    assert res.num_components == 4
