@@ -168,7 +168,10 @@ def run_bench() -> dict:
     # a driver-side Python loop, not part of the pipeline under test), and
     # sized so the actor-pool spin-up amortizes into steady-state
     # extraction throughput ---
-    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "12000"))
+    # 48k pages: large enough that actor-pool spin-up amortizes into
+    # steady-state extraction throughput (2.5k pages/s at 12k pages vs
+    # ~9.7k at 48k, 32 CPUs)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "48000"))
     pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
     if not os.path.exists(pages_path):
         import pyarrow.parquet as pq
