@@ -81,56 +81,87 @@ def _sample_dst_task(block, n: int) -> np.ndarray:
     return np.sort(d[idx])
 
 
+_PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def _cols_of(block, schema: pa.Schema) -> dict:
+    return {
+        name: block[name].to_numpy(zero_copy_only=False) for name in schema.names
+    }
+
+
+def _table_of(cols: dict, schema: pa.Schema) -> pa.Table:
+    return pa.table(
+        {name: pa.array(cols[name], schema.field(name).type) for name in schema.names}
+    )
+
+
 @ray.remote(num_cpus=1)
-def _range_split_task(block, bounds: np.ndarray) -> list:
+def _range_split_task(block, bounds: np.ndarray, schema: pa.Schema) -> list:
     k = len(bounds) + 1
     if block.num_columns == 0 or len(block) == 0:
-        e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        e = schema.empty_table()
         return [e] * k if k > 1 else [e]
-    s = block["src"].to_numpy(zero_copy_only=False)
-    d = block["dst"].to_numpy(zero_copy_only=False)
-    order = np.argsort(d, kind="stable")
-    s, d = s[order], d[order]
+    cols = _cols_of(block, schema)
+    order = np.argsort(cols["dst"], kind="stable")
+    cols = {n: a[order] for n, a in cols.items()}
+    d = cols["dst"]
     cuts = np.searchsorted(d, bounds, side="left")
     bpts = np.concatenate([[0], cuts, [len(d)]])
     return [
-        pa.table({"src": s[bpts[i] : bpts[i + 1]], "dst": d[bpts[i] : bpts[i + 1]]})
+        _table_of({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()}, schema)
         for i in range(k)
     ]
 
 
 @ray.remote(num_cpus=1, num_returns=3)
-def _merge_range_task(dedup_sort_src: bool, *chunks):
+def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
     """Concatenate one range's chunks → dst-sorted table + its row count +
     its unique-dst count (exact and globally additive: ranges are disjoint
     and own every copy of their dst values — the vertex count falls out of
     the exchange for free, so no consumer pays a probe for it).
 
-    ``dedup_sort_src=True`` additionally sorts src within each dst run and
-    drops exact duplicate rows — a GLOBAL dedup, valid for the same
-    reason."""
-    ss = [c["src"].to_numpy(zero_copy_only=False) for c in chunks if len(c)]
-    if not ss:
-        e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        return e, 0, 0
-    s = np.concatenate(ss)
-    d = np.concatenate([c["dst"].to_numpy(zero_copy_only=False) for c in chunks if len(c)])
+    ``dedup_sort_src=True`` additionally lexsorts rows within each dst run
+    by the remaining columns (src, then any extras in schema order) and
+    drops exact duplicate ROWS — a GLOBAL dedup, valid for the same
+    reason.  Extra schema columns beyond (src, dst) ride along through
+    sort, dedup and split (e.g. the directed-PageRank flag column)."""
+    live = [c for c in chunks if len(c)]
+    if not live:
+        return schema.empty_table(), 0, 0
+    cols = {
+        n: np.concatenate([c[n].to_numpy(zero_copy_only=False) for c in live])
+        for n in schema.names
+    }
+    d = cols["dst"]
+    extras = [n for n in schema.names if n not in ("src", "dst")]
     if dedup_sort_src:
-        order = np.lexsort((s, d))
-        s, d = s[order], d[order]
-        keep = np.empty(len(s), dtype=bool)
+        keys = [cols[n] for n in reversed(extras)] + [cols["src"], d]
+        order = np.lexsort(tuple(keys))
+        cols = {n: a[order] for n, a in cols.items()}
+        d = cols["dst"]
+        keep = np.empty(len(d), dtype=bool)
         keep[0] = True
-        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
-        s, d = s[keep], d[keep]
+        keep[1:] = False
+        for n in schema.names:
+            a = cols[n]
+            keep[1:] |= a[1:] != a[:-1]
+        cols = {n: a[keep] for n, a in cols.items()}
+        d = cols["dst"]
     else:
         order = np.argsort(d, kind="stable")
-        s, d = s[order], d[order]
+        cols = {n: a[order] for n, a in cols.items()}
+        d = cols["dst"]
     nuniq = 1 + int((d[1:] != d[:-1]).sum())
-    return pa.table({"src": s, "dst": d}), int(len(s)), nuniq
+    return _table_of(cols, schema), int(len(d)), nuniq
 
 
 def raw_dst_exchange(
-    sym_edges: rd.Dataset, *, dedup_sort_src: bool = False, samples_per_block: int = 2000
+    sym_edges: rd.Dataset,
+    *,
+    dedup_sort_src: bool = False,
+    samples_per_block: int = 2000,
+    schema: pa.Schema = _PAIR_SCHEMA,
 ) -> tuple[list, int, int]:
     """Range-exchange a (src, dst) dataset by ``dst`` with raw tasks.
 
@@ -148,21 +179,22 @@ def raw_dst_exchange(
     samples = ray.get([_sample_dst_task.remote(r, samples_per_block) for r in refs])
     samples = [x for x in samples if len(x)]
     if not samples:
-        m = _merge_range_task.remote(dedup_sort_src, *refs)
+        m = _merge_range_task.remote(dedup_sort_src, schema, *refs)
         return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
     alls = np.sort(np.concatenate(samples))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)  # duplicate boundaries → empty ranges, drop
     nk = len(bounds) + 1
     if nk == 1:  # degenerate key range: merge everything into one block
-        m = _merge_range_task.remote(dedup_sort_src, *refs)
+        m = _merge_range_task.remote(dedup_sort_src, schema, *refs)
         return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
     bref = ray.put(bounds)
     parts = [
-        _range_split_task.options(num_returns=nk).remote(r, bref) for r in refs
+        _range_split_task.options(num_returns=nk).remote(r, bref, schema)
+        for r in refs
     ]
     merged = [
-        _merge_range_task.remote(dedup_sort_src, *[parts[i][j] for i in range(k)])
+        _merge_range_task.remote(dedup_sort_src, schema, *[parts[i][j] for i in range(k)])
         for j in range(nk)
     ]
     counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
@@ -172,42 +204,41 @@ def raw_dst_exchange(
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def _map_sort_sample_task(block, map_fn, n: int):
+def _map_sort_sample_task(block, map_fn, n: int, schema: pa.Schema):
     """Apply ``map_fn`` to one input block, sort the result by ``dst``, and
     return (sorted table, evenly-spaced dst sample).  Fusing the map into
     the exchange removes a full object-store pass: the map output is never
     materialized as a separate Dataset and never re-read or re-sorted by
     the split stage."""
-    e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
     if block.num_columns == 0 or len(block) == 0:
-        return e, np.empty(0, np.int64)
+        return schema.empty_table(), np.empty(0, np.int64)
     t = map_fn(block)
     if len(t) == 0:
-        return e, np.empty(0, np.int64)
-    s = t["src"].to_numpy(zero_copy_only=False)
-    d = t["dst"].to_numpy(zero_copy_only=False)
-    order = np.argsort(d, kind="stable")
-    s, d = s[order], d[order]
+        return schema.empty_table(), np.empty(0, np.int64)
+    cols = _cols_of(t, schema)
+    order = np.argsort(cols["dst"], kind="stable")
+    cols = {name: a[order] for name, a in cols.items()}
+    d = cols["dst"]
     idx = np.linspace(0, len(d) - 1, min(n, len(d))).astype(np.int64)
-    return pa.table({"src": s, "dst": d}), d[idx]
+    return _table_of(cols, schema), d[idx]
 
 
 @ray.remote(num_cpus=1)
-def _split_presorted_task(block, bounds: np.ndarray) -> list:
+def _split_presorted_task(block, bounds: np.ndarray, schema: pa.Schema) -> list:
     """Range-split an already dst-sorted block: one ``searchsorted``, no
     re-sort.  Chunks are rebuilt from numpy slices rather than
     ``Table.slice`` — a pickled Arrow slice can carry its whole parent
     buffer into the object store, K× per block."""
     k = len(bounds) + 1
     if block.num_columns == 0 or len(block) == 0:
-        e = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        e = schema.empty_table()
         return [e] * k if k > 1 else [e]
-    s = block["src"].to_numpy(zero_copy_only=False)
-    d = block["dst"].to_numpy(zero_copy_only=False)
+    cols = _cols_of(block, schema)
+    d = cols["dst"]
     cuts = np.searchsorted(d, bounds, side="left")
     bpts = np.concatenate([[0], cuts, [len(d)]])
     return [
-        pa.table({"src": s[bpts[i] : bpts[i + 1]], "dst": d[bpts[i] : bpts[i + 1]]})
+        _table_of({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()}, schema)
         for i in range(k)
     ]
 
@@ -218,6 +249,7 @@ def raw_map_dst_exchange(
     *,
     dedup_sort_src: bool = False,
     samples_per_block: int = 2000,
+    schema: pa.Schema = _PAIR_SCHEMA,
 ) -> tuple[list, int, int]:
     """Fused map + range exchange by ``dst``: ``map_fn`` (a pure
     Table → (src, dst) Table function) runs inside the sort/sample task of
@@ -229,28 +261,29 @@ def raw_map_dst_exchange(
         return [], 0, 0
     k = len(refs)
     prepped = [
-        _map_sort_sample_task.remote(r, map_fn, samples_per_block) for r in refs
+        _map_sort_sample_task.remote(r, map_fn, samples_per_block, schema)
+        for r in refs
     ]
     samples = ray.get([p[1] for p in prepped])
     sorted_refs = [p[0] for p in prepped]
     samples = [x for x in samples if len(x)]
     if not samples:
-        m = _merge_range_task.remote(dedup_sort_src, *sorted_refs)
+        m = _merge_range_task.remote(dedup_sort_src, schema, *sorted_refs)
         return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
     alls = np.sort(np.concatenate(samples))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)
     nk = len(bounds) + 1
     if nk == 1:
-        m = _merge_range_task.remote(dedup_sort_src, *sorted_refs)
+        m = _merge_range_task.remote(dedup_sort_src, schema, *sorted_refs)
         return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
     bref = ray.put(bounds)
     parts = [
-        _split_presorted_task.options(num_returns=nk).remote(r, bref)
+        _split_presorted_task.options(num_returns=nk).remote(r, bref, schema)
         for r in sorted_refs
     ]
     merged = [
-        _merge_range_task.remote(dedup_sort_src, *[parts[i][j] for i in range(k)])
+        _merge_range_task.remote(dedup_sort_src, schema, *[parts[i][j] for i in range(k)])
         for j in range(nk)
     ]
     counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])

@@ -296,6 +296,185 @@ def _pagerank_bsp_shuffle(
     return PageRankResult(ranks_ds, num_v, iters, metrics)
 
 
+_DIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("f", pa.int8())])
+
+
+def _dir_sym_batch(t: pa.Table) -> pa.Table:
+    """Directed prep for the fused exchange: drop self-loops and emit each
+    true edge u→v twice with a direction flag — fwd ``(u, v, 1)`` (an
+    in-edge row in v's owner block) and rev ``(v, u, 0)`` (an out-edge row
+    in u's owner block).  The dst set then covers src ∪ dst, so the state
+    shards span every vertex, and per-block ``f==0`` segment counts are the
+    exact out-degrees — directionality survives the exchange at the cost of
+    one int8 column."""
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    n = len(s)
+    return pa.table(
+        {
+            "src": np.concatenate([s, d]),
+            "dst": np.concatenate([d, s]),
+            "f": pa.array(
+                np.concatenate(
+                    [np.ones(n, dtype=np.int8), np.zeros(n, dtype=np.int8)]
+                ),
+                pa.int8(),
+            ),
+        }
+    )
+
+
+@ray.remote(num_cpus=1, num_returns=3)
+def _bsp_dir_prep(block):
+    """One dst-sorted (dst, src, f)-deduped directed block → the SAME
+    5-tuple the undirected emit/apply tasks consume, plus the local
+    dangling positions.
+
+    Out-edges of a local vertex u are its ``f==0`` rows (rev rows land in
+    u's owner block), so out-degrees and the emission index need no extra
+    exchange; dangling vertices (out-degree 0) are exactly the vids with no
+    ``f==0`` row.  Returns ``(prep5, dangling_idx, (n, first))``."""
+    empty5 = (
+        np.empty(0, np.int64),
+        np.empty(0, np.float64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int32),
+    )
+    if block.num_columns == 0 or len(block) == 0:
+        return empty5, np.empty(0, np.int64), (0, 0)
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    f = block["f"].to_numpy(zero_copy_only=False)
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    np.not_equal(d[1:], d[:-1], out=change[1:])
+    vids = d[change]
+    seg = (np.cumsum(change) - 1).astype(np.int32)
+    out_mask = f == 0
+    outdeg = np.bincount(seg[out_mask], minlength=len(vids)).astype(np.float64)
+    dangling_idx = np.flatnonzero(outdeg == 0)
+    inv_out = np.zeros(len(vids))
+    nz = outdeg > 0
+    inv_out[nz] = 1.0 / outdeg[nz]
+    # emission rows: one per out-edge, target = the src column of the rev row
+    tgt = s[out_mask]
+    i_local = seg[out_mask]
+    order = np.argsort(tgt, kind="stable")
+    tgt = tgt[order]
+    i_local = i_local[order]
+    if len(tgt) == 0:
+        prep5 = (vids, inv_out, np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int32))
+        return prep5, dangling_idx, (int(len(vids)), int(vids[0]))
+    tchange = np.empty(len(tgt), dtype=bool)
+    tchange[0] = True
+    np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
+    tgt_starts = np.flatnonzero(tchange).astype(np.int32)
+    prep5 = (vids, inv_out, tgt[tgt_starts], tgt_starts, i_local)
+    return prep5, dangling_idx, (int(len(vids)), int(vids[0]))
+
+
+@ray.remote(num_cpus=1)
+def _dangling_sum(dangling_idx: np.ndarray, rank_vec: np.ndarray) -> float:
+    return float(rank_vec[dangling_idx].sum())
+
+
+def _pagerank_bsp_directed(
+    parted_refs: list,
+    damping: float,
+    tol: float,
+    max_iters: int,
+    checkpointer: Checkpointer | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> PageRankResult:
+    """Directed PageRank over object-store-sharded state — the same
+    emit/apply machinery as the undirected BSP path (the prep emits the
+    identical 5-tuple), plus one cheap scalar round per superstep that sums
+    the dangling ranks (``r' = (1-d)/V + d·(contrib + dm/V)``, exactly the
+    oracle's update).  Replaces the bucket-join dataflow for
+    vertex-implicit directed runs at every size."""
+    t0 = time.perf_counter()
+    metrics: list[dict[str, Any]] = []
+    trip = [_bsp_dir_prep.remote(b) for b in parted_refs]
+    metas = ray.get([p[2] for p in trip])
+    keep = [i for i, (n, _) in enumerate(metas) if n > 0]
+    preps = [trip[i][0] for i in keep]
+    dangles = [trip[i][1] for i in keep]
+    counts = [metas[i][0] for i in keep]
+    firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
+    num_v = int(sum(counts))
+    k = len(preps)
+    if k == 0:
+        empty = rd.from_arrow(
+            pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+        return PageRankResult(empty, 0, 0, metrics)
+    firsts_ref = ray.put(firsts)
+    r0 = 1.0 / num_v
+    start = 1
+    ranks = None
+    if resume and checkpointer is not None:
+        latest = checkpointer.load_shards(preps, firsts, "rank", default=r0)
+        if latest is not None:
+            last_it, ranks, meta = latest
+            start = last_it + 1
+            metrics.append(meta)
+    if ranks is None:
+        ranks = [_bsp_full_vec.remote(n, r0) for n in counts]
+    metrics.append(
+        {"phase": "bsp_prep", "num_vertices": num_v, "mode": "bsp_directed",
+         "wall_s": time.perf_counter() - t0}
+    )
+
+    iters = 0
+    for it in range(start, start + max_iters):
+        t1 = time.perf_counter()
+        dm = float(
+            sum(ray.get([_dangling_sum.remote(dangles[j], ranks[j]) for j in range(k)]))
+        )
+        base = (1.0 - damping) / num_v + damping * dm / num_v
+        emits = [
+            _bsp_shuffle_emit.options(num_returns=k).remote(preps[i], ranks[i], firsts_ref)
+            for i in range(k)
+        ]
+        if k == 1:
+            emits = [[e] for e in emits]
+        outs = [
+            _bsp_shuffle_apply.remote(
+                preps[j], ranks[j], base, damping, *[emits[i][j] for i in range(k)]
+            )
+            for j in range(k)
+        ]
+        ranks = [o[0] for o in outs]
+        delta = float(sum(ray.get([o[1] for o in outs])))
+        iters += 1
+        metrics.append(
+            {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
+             "mode": "bsp_directed", "wall_s": time.perf_counter() - t1}
+        )
+        converged = tol > 0 and delta < tol
+        if checkpointer is not None and (converged or it % checkpoint_every == 0):
+            checkpointer.save_shards(
+                it,
+                [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)],
+                {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
+                 "num_vertices": num_v, "mode": "bsp_directed"},
+            )
+        if converged:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(f"pagerank exceeded {max_iters} iterations")
+
+    tables = [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)]
+    ranks_ds = rd.from_arrow_refs(tables).materialize()
+    return PageRankResult(ranks_ds, num_v, iters, metrics)
+
+
 def _count_dst_block(t: pa.Table) -> pa.Table:
     if t.num_columns == 0 or len(t) == 0:
         return pa.table({"n": pa.array([], pa.int64())})
@@ -438,6 +617,18 @@ def pagerank(
         # re-shuffle of the edge table per superstep; checkpoints are
         # per-shard raw-task Parquet writes (Checkpointer.save_shards)
         return _pagerank_bsp_shuffle(
+            parted_refs, damping, tol, max_iters,
+            checkpointer, checkpoint_every, resume,
+        )
+    if directed and vertices is None and mode in ("auto", "broadcast", "shuffle"):
+        # vertex-implicit directed runs: flagged fused exchange + BSP with
+        # a per-superstep dangling-mass scalar round (oracle-identical
+        # update); the bucket-join dataflow below remains for explicit
+        # vertex sets
+        parted_refs, _n_rows, _n_vert = bsp.raw_map_dst_exchange(
+            edges, _dir_sym_batch, dedup_sort_src=True, schema=_DIR_SCHEMA
+        )
+        return _pagerank_bsp_directed(
             parted_refs, damping, tol, max_iters,
             checkpointer, checkpoint_every, resume,
         )

@@ -162,6 +162,8 @@ def test_sharded_checkpoint_cross_mode_resume(tmp_ckpt):
 
 def test_pagerank_checkpoint_metrics(tmp_ckpt):
     edges, _ = synth.golden_micro()
+    # directed + implicit vertices → BSP path: one shard-written
+    # checkpoint per superstep, metrics carry the dangling mass
     res = pagerank(
         G.from_arrow_edges(edges),
         num_partitions=2,
@@ -170,8 +172,24 @@ def test_pagerank_checkpoint_metrics(tmp_ckpt):
     )
     d = os.path.join(tmp_ckpt, "pr")
     iters = [n for n in sorted(os.listdir(d)) if n.startswith("iter_")]
-    assert len(iters) == res.num_iterations + 1  # + init
+    assert len(iters) == res.num_iterations
     with open(os.path.join(d, iters[-1], "_metrics.json")) as f:
         meta = json.load(f)
     assert meta["num_vertices"] == 6
-    assert "lineage" in meta
+    assert "lineage" in meta and "dangling_mass" in meta
+
+    # explicit vertices → dataflow path: iter_0000 holds the init state
+    import numpy as np
+    import ray.data as rd
+
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(6, dtype=np.int64)}))
+    res2 = pagerank(
+        G.from_arrow_edges(edges),
+        vertices=verts,
+        num_partitions=2,
+        tol=1e-8,
+        checkpointer=Checkpointer(tmp_ckpt, "pr_df"),
+    )
+    d2 = os.path.join(tmp_ckpt, "pr_df")
+    iters2 = [n for n in sorted(os.listdir(d2)) if n.startswith("iter_")]
+    assert len(iters2) == res2.num_iterations + 1  # + init

@@ -125,3 +125,53 @@ def test_pagerank_bsp_shuffle_matches_broadcast():
     rb = {r["vertex"]: r["rank"] for r in b.ranks.take_all()}
     assert set(ra) == set(rb)
     assert all(abs(ra[k] - rb[k]) < 1e-9 for k in ra)
+
+
+def test_pagerank_directed_bsp_matches_dataflow():
+    """The directed BSP path (implicit vertices) and the bucket-join
+    dataflow path (explicit vertices) agree on the same graph."""
+    edges, _ = synth.make_planted_graph(600, 3, 4, seed=71)
+    ds = G.from_arrow_edges(edges)
+    bsp_res = pagerank(ds, num_partitions=4, tol=1e-12)
+    assert bsp_res.metrics[-1]["mode"] == "bsp_directed"
+    touched = rd.from_arrow(
+        pa.table(
+            {
+                "vertex": np.unique(
+                    np.concatenate(
+                        [
+                            edges["src"].to_numpy(zero_copy_only=False),
+                            edges["dst"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+    )
+    df_res = pagerank(ds, vertices=touched, num_partitions=4, tol=1e-12)
+    a = {r["vertex"]: r["rank"] for r in bsp_res.ranks.take_all()}
+    b = {r["vertex"]: r["rank"] for r in df_res.ranks.take_all()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[v] - b[v]) < 1e-9 for v in a)
+
+
+def test_pagerank_directed_bsp_checkpoint_resume(tmp_ckpt):
+    from linkgraph.checkpoint import Checkpointer
+
+    edges, _ = synth.make_planted_graph(800, 2, 4, seed=73)
+    ck = Checkpointer(tmp_ckpt, "prdir")
+    full = pagerank(
+        G.from_arrow_edges(edges), tol=0.0, max_iters=6, checkpointer=ck
+    )
+    assert full.metrics[-1]["mode"] == "bsp_directed"
+    import os, shutil
+    d = os.path.join(tmp_ckpt, "prdir")
+    for name in sorted(os.listdir(d))[3:]:
+        shutil.rmtree(os.path.join(d, name))
+    resumed = pagerank(
+        G.from_arrow_edges(edges), tol=0.0, max_iters=3, checkpointer=ck, resume=True
+    )
+    want = {r["vertex"]: r["rank"] for r in full.ranks.take_all()}
+    got = {r["vertex"]: r["rank"] for r in resumed.ranks.take_all()}
+    assert want.keys() == got.keys()
+    assert all(abs(want[v] - got[v]) < 1e-12 for v in want)
