@@ -114,6 +114,58 @@ def _extraction_cc(sf_dir: str):
     return pages_pipeline(rd.from_arrow(pages), num_partitions=8).labels
 
 
+def _cc_membership(sf_dir: str):
+    """CC over the small customer→nation→region membership graph — the
+    value-checked kernel entry (DuckDB recursive-CTE reachability oracle)."""
+    from linkgraph.cc import connected_components
+    from linkgraph.pipelines import membership_edges
+
+    return connected_components(membership_edges(sf_dir), num_partitions=8).labels
+
+
+def _cc_membership_sizes(sf_dir: str):
+    from linkgraph.cc import component_stats, connected_components
+    from linkgraph.pipelines import membership_edges
+
+    res = connected_components(membership_edges(sf_dir), num_partitions=8)
+    sizes, _ = component_stats(res.labels)
+    return sizes
+
+
+def _labelprop_membership(sf_dir: str):
+    """Label propagation on the membership graph: same min-id fixed point
+    as CC (ref ``src/cc_sequential.c:107-128``), same recursive-CTE oracle."""
+    from linkgraph.labelprop import label_propagation
+    from linkgraph.pipelines import membership_edges
+
+    return label_propagation(membership_edges(sf_dir), num_partitions=8).labels
+
+
+def _pagerank_membership_fixed4(sf_dir: str):
+    """Undirected PageRank, exactly 4 power-iteration supersteps, on the
+    membership graph — value-checked against an unrolled 4-step SQL oracle
+    (scores rounded to 6 decimals on both sides)."""
+    from linkgraph.pagerank import pagerank
+    from linkgraph.pipelines import membership_edges
+
+    res = pagerank(
+        membership_edges(sf_dir),
+        directed=False,
+        num_partitions=8,
+        tol=0.0,
+        max_iters=4,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"vertex": t["vertex"], "score": pc.round(t["rank"], 6)}
+        )
+
+    return res.ranks.map_batches(fin, batch_format="pyarrow")
+
+
 def _minhash_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -230,7 +282,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
         "knn_vec0_top10": R.knn_vec0_top10,
-        # graph kernels (rows-only; NumPy-oracled in tests/)
+        # graph kernels, value-checked (DuckDB recursive/unrolled CTE oracles)
+        "cc_membership": _cc_membership,
+        "cc_membership_sizes": _cc_membership_sizes,
+        "labelprop_membership": _labelprop_membership,
+        "pagerank_membership_fixed4": _pagerank_membership_fixed4,
+        # graph kernels at derived-graph scale (rows-only; NumPy-oracled in tests/)
         "cc_labels": _cc_labels,
         "cc_component_sizes": _cc_sizes,
         "cc_frequent_label": _cc_frequent_label,
@@ -319,6 +376,119 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[0-9]')) AS n_digits,
                    len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS n_punct
             FROM documents
+        """,
+        "cc_membership": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            )
+            SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "cc_membership_sizes": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            ),
+            labels AS (
+              SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+            )
+            SELECT label, count(*) AS size FROM labels GROUP BY label
+        """,
+        "labelprop_membership": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            )
+            SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "pagerank_membership_fixed4": """
+            WITH e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+            nv AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+            r1 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r / dg.d) AS r
+              FROM sym s
+              JOIN r0 p ON p.v = s.src
+              JOIN deg dg ON dg.v = s.src
+              JOIN deg t ON t.v = s.dst
+              GROUP BY t.v
+            ),
+            r2 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r / dg.d) AS r
+              FROM sym s
+              JOIN r1 p ON p.v = s.src
+              JOIN deg dg ON dg.v = s.src
+              JOIN deg t ON t.v = s.dst
+              GROUP BY t.v
+            ),
+            r3 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r / dg.d) AS r
+              FROM sym s
+              JOIN r2 p ON p.v = s.src
+              JOIN deg dg ON dg.v = s.src
+              JOIN deg t ON t.v = s.dst
+              GROUP BY t.v
+            ),
+            r4 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r / dg.d) AS r
+              FROM sym s
+              JOIN r3 p ON p.v = s.src
+              JOIN deg dg ON dg.v = s.src
+              JOIN deg t ON t.v = s.dst
+              GROUP BY t.v
+            )
+            SELECT v AS vertex, round(r, 6) AS score FROM r4
         """,
         "graph_degree_top20": """
             WITH e AS (

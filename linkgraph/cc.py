@@ -69,7 +69,13 @@ def _local_components(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
     """
     p = np.arange(n, dtype=np.int64)
     while True:
-        before = p
+        # snapshot, NOT alias: minimum.at mutates p in place, and the
+        # pointer-jump below rebinds p only when it changes something — an
+        # aliased `before` made the convergence test vacuously true
+        # whenever a hook round's updates were already jump-stable,
+        # truncating the forest mid-propagation (caught by the two-level
+        # membership-star oracle, __ray_entry__.oracle_sql cc_membership)
+        before = p.copy()
         mn = np.minimum(p[u], p[v])
         np.minimum.at(p, u, mn)
         np.minimum.at(p, v, mn)

@@ -86,6 +86,47 @@ def flagship(sf_dir: str, num_partitions: int | None = None):
     return connected_components(edges, num_partitions=num_partitions)
 
 
+NATION_OFFSET = 2_000_000_000
+REGION_OFFSET = 3_000_000_000
+
+
+def membership_edges(sf_dir: str) -> rd.Dataset:
+    """customer→nation→region membership graph.
+
+    Small and diameter-bounded by construction (exactly one component per
+    region, diameter 4), so the iterative kernels over it are fully
+    SQL-expressible: CC/LP labels via a DuckDB recursive-CTE reachability
+    min, PageRank via unrolled fixed-iteration CTEs — giving the graph
+    kernels *value-checked* oracle entries alongside the rows-only
+    full-size ones (``__ray_entry__.oracle_sql``).
+    """
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["c_custkey"],
+                "dst": pa.compute.add(t["c_nationkey"], NATION_OFFSET),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nat = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.compute.add(t["n_nationkey"], NATION_OFFSET),
+                "dst": pa.compute.add(t["n_regionkey"], REGION_OFFSET),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.union(nat)
+
+
 def pages_pipeline(
     pages: rd.Dataset,
     num_partitions: int | None = None,

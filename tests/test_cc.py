@@ -284,3 +284,33 @@ def test_explicit_vertices_fast_finish_above_threshold():
     got = labels_dict(res.labels)
     assert got == {i: int(expected[i]) for i in range(n)}
     assert res.num_components == len(np.unique(expected))
+
+
+def test_local_components_two_level_star():
+    """Regression: hook round whose updates are jump-stable must NOT stop
+    the sweep (aliased-`before` bug) — a two-level membership star needs
+    several hook+jump rounds to drain mins down to the leaves."""
+    cust = np.arange(150, dtype=np.int64)
+    nations = 150 + (cust % 25)
+    nk = np.arange(25, dtype=np.int64)
+    u = np.concatenate([cust, 150 + nk])
+    v = np.concatenate([nations, 175 + (nk % 5)])
+    p = _local_components(u, v, 180)
+    assert len(np.unique(p)) == 5
+    # every region component bottoms out at a customer index (< 150)
+    assert p.max() < 150
+
+
+def test_cc_two_level_star_end_to_end():
+    """CC over the customer→nation→region shape at full pipeline depth."""
+    cust = np.arange(150, dtype=np.int64)
+    nat = 1_000 + (cust % 25)
+    nk = np.arange(25, dtype=np.int64)
+    t = pa.table(
+        {
+            "src": np.concatenate([cust, 1_000 + nk]),
+            "dst": np.concatenate([nat, 2_000 + (nk % 5)]),
+        }
+    )
+    res = check_against_oracle(t)
+    assert res.num_components == 5
