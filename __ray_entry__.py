@@ -166,6 +166,53 @@ def _pagerank_membership_fixed4(sf_dir: str):
     return res.ranks.map_batches(fin, batch_format="pyarrow")
 
 
+def _cc_membership_summary(sf_dir: str):
+    """Component min/max/avg-size summary (ref ``print_component_stats``,
+    ``src/cc_common.c:40-94``) as a one-row table, value-checked."""
+    import ray.data as rd
+
+    from linkgraph.cc import component_stats, connected_components
+    from linkgraph.pipelines import membership_edges
+
+    res = connected_components(membership_edges(sf_dir), num_partitions=8)
+    _, summary = component_stats(res.labels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "num_components": pa.array([int(summary["num_components"])], pa.int64()),
+                "min_size": pa.array([int(summary["min_size"])], pa.int64()),
+                "max_size": pa.array([int(summary["max_size"])], pa.int64()),
+                "avg_size": pa.array([round(summary["avg_size"], 6)], pa.float64()),
+            }
+        )
+    )
+
+
+def _pagerank_membership_directed_fixed4(sf_dir: str):
+    """DIRECTED PageRank (customer→nation→region), 4 supersteps: region
+    vertices are sinks, so this value-checks the dangling-mass correction
+    and the directed BSP path against an unrolled SQL oracle."""
+    from linkgraph.pagerank import pagerank
+    from linkgraph.pipelines import membership_edges
+
+    res = pagerank(
+        membership_edges(sf_dir),
+        directed=True,
+        num_partitions=8,
+        tol=0.0,
+        max_iters=4,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"vertex": t["vertex"], "score": pc.round(t["rank"], 6)}
+        )
+
+    return res.ranks.map_batches(fin, batch_format="pyarrow")
+
+
 def _minhash_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -285,8 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph kernels, value-checked (DuckDB recursive/unrolled CTE oracles)
         "cc_membership": _cc_membership,
         "cc_membership_sizes": _cc_membership_sizes,
+        "cc_membership_summary": _cc_membership_summary,
         "labelprop_membership": _labelprop_membership,
         "pagerank_membership_fixed4": _pagerank_membership_fixed4,
+        "pagerank_membership_directed_fixed4": _pagerank_membership_directed_fixed4,
         # graph kernels at derived-graph scale (rows-only; NumPy-oracled in tests/)
         "cc_labels": _cc_labels,
         "cc_component_sizes": _cc_sizes,
@@ -433,6 +482,107 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
             )
             SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "cc_membership_summary": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            ),
+            labels AS (
+              SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+            ),
+            sizes AS (SELECT label, count(*) AS size FROM labels GROUP BY label)
+            SELECT count(*) AS num_components,
+                   min(size) AS min_size,
+                   max(size) AS max_size,
+                   round(avg(size), 6) AS avg_size
+            FROM sizes
+        """,
+        "pagerank_membership_directed_fixed4": """
+            WITH base_e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            e AS (SELECT DISTINCT src, dst FROM base_e WHERE src <> dst),
+            verts AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+            odeg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
+            nv AS (SELECT count(*) AS n FROM verts),
+            r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM verts),
+            dm0 AS (
+              SELECT COALESCE(sum(r0.r), 0) AS m FROM r0
+              LEFT JOIN odeg ON odeg.v = r0.v WHERE odeg.v IS NULL
+            ),
+            r1 AS (
+              SELECT verts.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * (COALESCE(sum(p.r / dg.d), 0)
+                                 + (SELECT m FROM dm0) / (SELECT n FROM nv)) AS r
+              FROM verts
+              LEFT JOIN e ON e.dst = verts.v
+              LEFT JOIN r0 p ON p.v = e.src
+              LEFT JOIN odeg dg ON dg.v = e.src
+              GROUP BY verts.v
+            ),
+            dm1 AS (
+              SELECT COALESCE(sum(r1.r), 0) AS m FROM r1
+              LEFT JOIN odeg ON odeg.v = r1.v WHERE odeg.v IS NULL
+            ),
+            r2 AS (
+              SELECT verts.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * (COALESCE(sum(p.r / dg.d), 0)
+                                 + (SELECT m FROM dm1) / (SELECT n FROM nv)) AS r
+              FROM verts
+              LEFT JOIN e ON e.dst = verts.v
+              LEFT JOIN r1 p ON p.v = e.src
+              LEFT JOIN odeg dg ON dg.v = e.src
+              GROUP BY verts.v
+            ),
+            dm2 AS (
+              SELECT COALESCE(sum(r2.r), 0) AS m FROM r2
+              LEFT JOIN odeg ON odeg.v = r2.v WHERE odeg.v IS NULL
+            ),
+            r3 AS (
+              SELECT verts.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * (COALESCE(sum(p.r / dg.d), 0)
+                                 + (SELECT m FROM dm2) / (SELECT n FROM nv)) AS r
+              FROM verts
+              LEFT JOIN e ON e.dst = verts.v
+              LEFT JOIN r2 p ON p.v = e.src
+              LEFT JOIN odeg dg ON dg.v = e.src
+              GROUP BY verts.v
+            ),
+            dm3 AS (
+              SELECT COALESCE(sum(r3.r), 0) AS m FROM r3
+              LEFT JOIN odeg ON odeg.v = r3.v WHERE odeg.v IS NULL
+            ),
+            r4 AS (
+              SELECT verts.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * (COALESCE(sum(p.r / dg.d), 0)
+                                 + (SELECT m FROM dm3) / (SELECT n FROM nv)) AS r
+              FROM verts
+              LEFT JOIN e ON e.dst = verts.v
+              LEFT JOIN r3 p ON p.v = e.src
+              LEFT JOIN odeg dg ON dg.v = e.src
+              GROUP BY verts.v
+            )
+            SELECT v AS vertex, round(r, 6) AS score FROM r4
         """,
         "pagerank_membership_fixed4": """
             WITH e AS (
