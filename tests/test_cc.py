@@ -314,3 +314,81 @@ def test_cc_two_level_star_end_to_end():
     )
     res = check_against_oracle(t)
     assert res.num_components == 5
+
+
+# ---------------------------------------------------------------------------
+# property tests: contraction must preserve exact connectivity
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _canon_labels_from_pairs(s, d, n):
+    """Min-id labels of the graph given by pairs, via the slow oracle."""
+    return oracle.cc_labels(np.asarray(s, np.int64), np.asarray(d, np.int64), n)
+
+
+@st.composite
+def edge_lists(draw):
+    """Random graphs biased toward adversarial shapes: stars-of-stars,
+    chains, and dense blobs (the aliasing bug only bit on shapes whose
+    min-propagation chains outlive one hook round)."""
+    n = draw(st.integers(2, 60))
+    shape = draw(st.sampled_from(["random", "chain", "two_level_star", "mixed"]))
+    edges = []
+    if shape in ("random", "mixed"):
+        m = draw(st.integers(0, 80))
+        for _ in range(m):
+            edges.append(
+                (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+            )
+    if shape in ("chain", "mixed"):
+        start = draw(st.integers(0, n - 1))
+        ln = draw(st.integers(1, min(20, n)))
+        perm = draw(st.permutations(range(n)))
+        for i in range(ln - 1):
+            edges.append((perm[i], perm[i + 1]))
+    if shape in ("two_level_star", "mixed"):
+        hubs = min(draw(st.integers(1, 4)), n)
+        for v in range(n):
+            edges.append((v, v % hubs))
+        for h in range(1, hubs):
+            if draw(st.booleans()):
+                edges.append((h, 0))
+    return n, edges
+
+
+@settings(max_examples=200, deadline=None)
+@given(edge_lists())
+def test_contract_batch_preserves_connectivity(case):
+    n, edges = case
+    if not edges:
+        return
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    out = _contract_batch(pa.table({"src": src, "dst": dst}))
+    o_s = out["src"].to_numpy()
+    o_d = out["dst"].to_numpy()
+    want = _canon_labels_from_pairs(src, dst, n)
+    got = _canon_labels_from_pairs(o_s, o_d, n)
+    # compare only on touched vertices (contract knows nothing of isolated ids)
+    touched = np.unique(np.concatenate([src, dst]))
+    assert np.array_equal(want[touched], got[touched])
+
+
+@settings(max_examples=200, deadline=None)
+@given(edge_lists())
+def test_local_components_matches_union_find(case):
+    n, edges = case
+    if not edges:
+        return
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if len(src) == 0:
+        return
+    p = _local_components(src, dst, n)
+    want = oracle.cc_labels(src, dst, n)
+    assert np.array_equal(p, want)
