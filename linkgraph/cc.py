@@ -68,24 +68,34 @@ def _local_components(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
     edges, then pointer-jump until stable.  O(E log V) numpy work.
     """
     p = np.arange(n, dtype=np.int64)
-    while True:
-        # snapshot, NOT alias: minimum.at mutates p in place, and the
-        # pointer-jump below rebinds p only when it changes something — an
-        # aliased `before` made the convergence test vacuously true
-        # whenever a hook round's updates were already jump-stable,
-        # truncating the forest mid-propagation (caught by the two-level
-        # membership-star oracle, __ray_entry__.oracle_sql cc_membership)
-        before = p.copy()
-        mn = np.minimum(p[u], p[v])
-        np.minimum.at(p, u, mn)
-        np.minimum.at(p, v, mn)
+    # convergence = every edge satisfied (p[u] == p[v]).  Satisfied edges
+    # are DROPPED each round: after full compression equal parents mean
+    # same tree, and hooked trees only ever merge further, so a satisfied
+    # edge can never become load-bearing again — the live edge set shrinks
+    # fast and bounds per-round work.  (An earlier version inferred
+    # convergence from a `before` snapshot that aliased the array
+    # ``minimum.at`` mutates in place, exiting mid-propagation on
+    # star-of-stars shapes — caught by the membership-graph SQL oracle and
+    # pinned by the hypothesis connectivity property in tests/test_cc.py.)
+    while len(u):
+        # hook the ROOTS (π(π(v)) ← min, true Shiloach-Vishkin): root
+        # merges are permanent under compression, which is what licenses
+        # dropping satisfied edges below.  Hooking the endpoints instead
+        # lets a satisfied edge become load-bearing again when one side is
+        # later pulled lower through a different edge (the hypothesis
+        # connectivity property fails within seconds on that variant).
+        ru, rv = p[u], p[v]
+        mn = np.minimum(ru, rv)
+        np.minimum.at(p, ru, mn)
+        np.minimum.at(p, rv, mn)
         while True:
             pp = p[p]
             if np.array_equal(pp, p):
                 break
             p = pp
-        if np.array_equal(before, p):
-            return p
+        live = p[u] != p[v]
+        u, v = u[live], v[live]
+    return p
 
 
 def _min_root_index(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
