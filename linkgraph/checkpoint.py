@@ -108,7 +108,15 @@ class Checkpointer:
         (``benchmarks/benchmark_mpi.c:312-336``).
         """
         if self.dir is None:
-            return ds.materialize()
+            mat = ds.materialize()
+            # sever the logical plan, not just execution: a materialized
+            # Dataset still carries its upstream plan, and an O(diameter)
+            # superstep loop (a 300-hop chain under label propagation)
+            # nests those plans past Python's recursion limit.  Rebuilding
+            # from the block refs is zero-copy and starts lineage fresh —
+            # the in-memory analogue of the Parquet re-read below.
+            refs = mat.to_arrow_refs()
+            return rd.from_arrow_refs(refs) if refs else mat
         d = self._iter_dir(it)
         tmp = d + ".tmp"
         if os.path.exists(tmp):

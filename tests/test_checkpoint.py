@@ -193,3 +193,20 @@ def test_pagerank_checkpoint_metrics(tmp_ckpt):
     d2 = os.path.join(tmp_ckpt, "pr_df")
     iters2 = [n for n in sorted(os.listdir(d2)) if n.startswith("iter_")]
     assert len(iters2) == res2.num_iterations + 1  # + init
+
+
+def test_chained_saves_sever_lineage(ray_session):
+    """Deep superstep loops must not nest logical plans: 400 chained
+    dir-less saves previously blew Python's recursion limit around ~150
+    iterations (RecursionError inside plan execution)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.checkpoint import Checkpointer
+
+    ck = Checkpointer(None)
+    state = rd.from_arrow(pa.table({"x": np.arange(64, dtype=np.int64)}))
+    for i in range(400):
+        state = ck.save(i, state.map_batches(lambda t: t, batch_format="pyarrow"), {})
+    assert state.count() == 64

@@ -1,0 +1,146 @@
+"""Adversarial-shape coverage for every kernel EXECUTION MODE.
+
+The aliasing regression (see tests/test_cc.py two-level-star tests) showed
+that kernels can be green on every random planted fixture and still wrong
+on structured topologies whose min-propagation chains outlive one sweep.
+These tests push the shapes through each forced execution mode — including
+the sharded/BSP scale paths that auto-gating never selects at test sizes —
+against the NumPy oracles.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linkgraph import graph as G, oracle
+from linkgraph.cc import connected_components
+from linkgraph.labelprop import label_propagation
+from linkgraph.pagerank import pagerank
+from linkgraph.triangles import triangle_count
+
+
+def two_level_star() -> pa.Table:
+    """150 leaves → 25 hubs → 5 super-hubs (the membership-graph shape)."""
+    cust = np.arange(150, dtype=np.int64)
+    nat = 1_000 + (cust % 25)
+    nk = np.arange(25, dtype=np.int64)
+    return pa.table(
+        {
+            "src": np.concatenate([cust, 1_000 + nk]),
+            "dst": np.concatenate([nat, 2_000 + (nk % 5)]),
+        }
+    )
+
+
+def long_chain(n=301) -> pa.Table:
+    """Path graph: diameter n-1, worst case for per-hop propagation."""
+    v = np.arange(n, dtype=np.int64)
+    return pa.table({"src": v[:-1], "dst": v[1:]})
+
+
+def shuffled_chain(n=301, seed=7) -> pa.Table:
+    """Path over a random id permutation: min sits mid-chain, ids give no
+    ordering hint, and lo/hi orientation flips edge by edge."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n).astype(np.int64)
+    return pa.table({"src": perm[:-1], "dst": perm[1:]})
+
+
+def bipartite_k(a=40, b=7) -> pa.Table:
+    """Complete bipartite K(a,b): heavy skew on the b side, zero triangles."""
+    aa = np.repeat(np.arange(a, dtype=np.int64), b)
+    bb = np.tile(1_000 + np.arange(b, dtype=np.int64), a)
+    return pa.table({"src": aa, "dst": bb})
+
+
+SHAPES = {
+    "two_level_star": two_level_star,
+    "long_chain": long_chain,
+    "shuffled_chain": shuffled_chain,
+    "bipartite": bipartite_k,
+}
+
+
+def _cc_oracle_map(t: pa.Table) -> dict[int, int]:
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    labels = oracle.cc_labels(src, dst)
+    touched = np.unique(np.concatenate([src, dst]))
+    return {int(v): int(labels[v]) for v in touched}
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("mode", ["auto", "shuffle", "broadcast", "sharded"])
+def test_cc_modes_on_shapes(shape, mode):
+    t = SHAPES[shape]()
+    res = connected_components(
+        G.from_arrow_edges(t), num_partitions=4, mode=mode,
+        local_finish_threshold=0,
+    )
+    got = {r["vertex"]: r["label"] for r in res.labels.take_all()}
+    assert got == _cc_oracle_map(t), (shape, mode)
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("mode", ["broadcast", "sharded", "shuffle"])
+def test_labelprop_modes_on_shapes(shape, mode):
+    t = SHAPES[shape]()
+    if mode == "shuffle" and shape in ("long_chain", "shuffled_chain"):
+        # one distributed bucket-join superstep per hop: cap the diameter
+        # so the forced-dataflow leg stays test-sized (the full 300-hop
+        # chains run through the driver-round modes above; deep lineage is
+        # pinned separately in test_checkpoint.py)
+        t = long_chain(48) if shape == "long_chain" else shuffled_chain(48)
+    res = label_propagation(G.from_arrow_edges(t), num_partitions=4, mode=mode)
+    got = {r["vertex"]: r["label"] for r in res.labels.take_all()}
+    assert got == _cc_oracle_map(t), (shape, mode)
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_pagerank_undirected_modes_on_shapes(shape, mode):
+    """mode='shuffle' on the fast-undirected path is the BSP sharded-state
+    scale path; 'broadcast' is the indexed Allgatherv analogue."""
+    t = SHAPES[shape]()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    touched = np.sort(np.unique(np.concatenate([src, dst])))
+    remap = {int(v): i for i, v in enumerate(touched)}
+    sc = np.array([remap[int(v)] for v in src])
+    dc = np.array([remap[int(v)] for v in dst])
+    exp = oracle.pagerank(
+        np.concatenate([sc, dc]), np.concatenate([dc, sc]), len(touched)
+    )
+    res = pagerank(
+        G.from_arrow_edges(t), directed=False, num_partitions=4,
+        tol=1e-12, mode=mode,
+    )
+    got_map = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    got = np.array([got_map[int(v)] for v in touched])
+    assert np.allclose(got, exp, atol=1e-6), (shape, mode)
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_pagerank_directed_bsp_on_shapes(shape):
+    """Vertex-implicit directed runs take the BSP directed path (dangling
+    mass per superstep — stars/bipartite sinks stress it)."""
+    t = SHAPES[shape]()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    touched = np.sort(np.unique(np.concatenate([src, dst])))
+    remap = {int(v): i for i, v in enumerate(touched)}
+    sc = np.array([remap[int(v)] for v in src])
+    dc = np.array([remap[int(v)] for v in dst])
+    exp = oracle.pagerank(sc, dc, len(touched))
+    res = pagerank(G.from_arrow_edges(t), directed=True, num_partitions=4, tol=1e-12)
+    got_map = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    got = np.array([got_map[int(v)] for v in touched])
+    assert np.allclose(got, exp, atol=1e-6), shape
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("mode", ["bsp", "dataflow"])
+def test_triangles_modes_on_shapes(shape, mode):
+    t = SHAPES[shape]()
+    exp = oracle.triangle_count(t["src"].to_numpy(), t["dst"].to_numpy())
+    assert (
+        triangle_count(G.from_arrow_edges(t), num_partitions=4, mode=mode) == exp
+    ), (shape, mode)
