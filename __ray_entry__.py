@@ -3,9 +3,14 @@
 ``entry()`` runs the flagship pipeline (lineitem → edge table → connected
 components) on sf0.001.  ``queries()`` exposes one callable per implemented
 operator/pipeline from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible one (identical column names).  The
-iterative graph kernels (CC / PageRank / label propagation) are not
-SQL-expressible — they get rows-only driver checks and are oracle-tested in
+equivalent for every SQL-expressible one (identical column names).
+
+The iterative graph kernels get BOTH kinds of driver check: value-checked
+entries on the small customer→nation→region membership graph, whose bounded
+component structure makes them SQL-expressible (recursive-CTE reachability
+min for CC/LP/component stats; unrolled fixed-iteration CTEs for PageRank,
+including a directed variant whose region sinks exercise the dangling-mass
+correction), and rows-only entries at derived-graph scale, oracle-tested in
 ``tests/`` against NumPy union-find / dense power iteration (FIXTURES.md §6).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing

@@ -11,8 +11,10 @@ no edge table, so we derive deterministic graphs from it:
   derived via a self-join on the order key.
 
 Both are expressible in ANSI SQL, so the *derived-table* queries (degrees,
-top-k) get DuckDB oracles; the iterative kernels (CC, PageRank, LP) get
-rows-only driver checks plus the pytest NumPy oracles (FIXTURES.md §6-7).
+top-k) get DuckDB oracles.  At these sizes the iterative kernels (CC,
+PageRank, LP) get rows-only driver checks plus the pytest NumPy oracles
+(FIXTURES.md §6-7); their value-checked SQL oracles live on the bounded
+``membership_edges`` graph below.
 """
 
 from __future__ import annotations
