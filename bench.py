@@ -108,9 +108,24 @@ def run_bench() -> dict:
         seed=42,
     )
 
-    # warm the page cache (untimed reads)
+    # warm-up (untimed): fault the fixture's data pages into the OS page
+    # cache, spawn the worker pool and grow the object store before any
+    # kernel is timed.  ``count()`` on a bare read_parquet is metadata-only
+    # — it leaves the data pages cold on disk, which billed 10-30 s of
+    # first-read disk I/O to whichever kernel ran first (and only to that
+    # kernel, skewing the 8-vs-32 comparison).  The decode pass below
+    # touches every row instead; the metric is kernel throughput, not
+    # cold-start I/O (protocol note in BENCH/BASELINE.md).
+    import pyarrow as _pa
+
+    def _touch(t):
+        return _pa.table({"n": _pa.array([len(t)], _pa.int64())})
+
     edges_from_lineitem(sf_dir).count()
     n_edges = rd.read_parquet(graph_path, override_num_blocks=graph_blocks).count()
+    rd.read_parquet(graph_path, override_num_blocks=graph_blocks).map_batches(
+        _touch, batch_format="pyarrow"
+    ).count()
 
     # --- CC (flagship) ---
     t0 = time.perf_counter()
@@ -178,6 +193,10 @@ def run_bench() -> dict:
 
         pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
         pq.write_table(pages, pages_path, row_group_size=1 << 10)
+    # untimed warm decode (same protocol as the graph fixture above)
+    rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus).map_batches(
+        _touch, batch_format="pyarrow"
+    ).count()
     t0 = time.perf_counter()
     pres = pages_pipeline(
         rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),

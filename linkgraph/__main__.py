@@ -37,6 +37,17 @@ def _edges(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def _edge_input(args):
+    """Edge Dataset from ``--edges`` (parquet) or ``--mtx`` (Matrix Market,
+    the reference's native input — ``src/mtx_reader.c:78-214``)."""
+    if getattr(args, "mtx", None):
+        from linkgraph.sources import read_mtx
+
+        ds, _info = read_mtx(args.mtx)
+        return ds
+    return _edges(args.edges, ["src", "dst"])
+
+
 def _ckpt(args):
     from linkgraph.checkpoint import Checkpointer
 
@@ -58,7 +69,9 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in ("cc", "pagerank", "labelprop", "triangles"):
         sp = sub.add_parser(name)
-        sp.add_argument("--edges", required=True, help="edge parquet (src, dst)")
+        src_grp = sp.add_mutually_exclusive_group(required=True)
+        src_grp.add_argument("--edges", help="edge parquet (src, dst)")
+        src_grp.add_argument("--mtx", help="Matrix Market edge-list file")
         common(sp)
         if name == "pagerank":
             sp.add_argument("--damping", type=float, default=0.85)
@@ -84,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.cc import connected_components
 
         res = connected_components(
-            _edges(args.edges, ["src", "dst"]),
+            _edge_input(args),
             num_partitions=args.num_partitions,
             checkpointer=_ckpt(args),
             resume=args.resume,
@@ -96,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.labelprop import label_propagation
 
         res = label_propagation(
-            _edges(args.edges, ["src", "dst"]),
+            _edge_input(args),
             num_partitions=args.num_partitions,
             checkpointer=_ckpt(args),
             resume=args.resume,
@@ -108,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.pagerank import pagerank
 
         res = pagerank(
-            _edges(args.edges, ["src", "dst"]),
+            _edge_input(args),
             directed=args.directed,
             damping=args.damping,
             tol=args.tol,
@@ -125,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.triangles import triangle_count
 
         n = triangle_count(
-            _edges(args.edges, ["src", "dst"]),
+            _edge_input(args),
             num_partitions=args.num_partitions,
         )
         import pyarrow as pa

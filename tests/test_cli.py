@@ -24,3 +24,26 @@ def test_cli_cc_writes_labels(tmp_path, capsys):
     assert got.num_rows == len(np.unique(
         np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
     ))
+
+
+def test_cli_cc_from_mtx(tmp_path, capsys):
+    """Reference-parity input path: MTX file → CC labels parquet."""
+    from linkgraph.sources import write_mtx
+
+    edges, expected = synth.make_planted_graph(200, 2, 4, seed=13)
+    mtx = str(tmp_path / "g.mtx")
+    write_mtx(
+        mtx,
+        edges["src"].to_numpy(),
+        edges["dst"].to_numpy(),
+        num_vertices=200,
+    )
+    out = str(tmp_path / "labels")
+    rc = main(["cc", "--mtx", mtx, "--output", out, "--num-partitions", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["components"] == 2
+    got = pq.read_table(out)
+    lab = dict(zip(got["vertex"].to_numpy(), got["label"].to_numpy()))
+    for v, l in lab.items():
+        assert l == expected[v]
