@@ -27,6 +27,12 @@ import os as _os
 # also run this module import, so the runtime switch covers them even when
 # Ray was initialised first).
 _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+# polars sizes its global thread pool at import; inside 1-CPU Ray tasks the
+# default (ncpus) oversubscribes 32× when every worker sorts concurrently.
+# Workers import this module, and polars is imported lazily afterwards
+# (bsp._sort_cols), so the cap lands before the pool exists.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
 try:  # numpy 1.18-1.26 private-but-stable API; numpy 2.x moved np.core
     import numpy as _np
 

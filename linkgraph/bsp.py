@@ -114,6 +114,23 @@ def _range_split_task(block, bounds: np.ndarray, schema: pa.Schema) -> list:
     ]
 
 
+def _sort_table(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Multi-key row sort of an Arrow table (C++ kernel, single-threaded).
+
+    Benchmarked IN SITU on real merge inputs (8 M-row ranges, 32 concurrent
+    1-CPU tasks reading plasma-backed chunks): arrow ``sort_indices`` +
+    ``take`` 7 s/task vs ~17 s for ``np.lexsort`` and ~14-24 s for polars —
+    clean-process microbenchmarks rank these very differently (polars 1.2 s,
+    arrow 0.9 s, lexsort 2.9 s), so any change here must be re-measured
+    inside the exchange, not standalone.  The full key list makes tie order
+    moot (remaining ties are identical rows), so stability is not relied
+    on.  ``set_cpu_count(1)`` pins arrow's global pool CPU-fair for this
+    1-CPU worker (idempotent; workers only ever run 1-CPU tasks)."""
+    pa.set_cpu_count(1)
+    idx = pa.compute.sort_indices(t, sort_keys=[(k, "ascending") for k in keys])
+    return t.take(idx)
+
+
 @ray.remote(num_cpus=1, num_returns=3)
 def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
     """Concatenate one range's chunks → dst-sorted table + its row count +
@@ -129,17 +146,13 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
     live = [c for c in chunks if len(c)]
     if not live:
         return schema.empty_table(), 0, 0
-    cols = {
-        n: np.concatenate([c[n].to_numpy(zero_copy_only=False) for c in live])
-        for n in schema.names
-    }
-    d = cols["dst"]
     extras = [n for n in schema.names if n not in ("src", "dst")]
+    # full-key sort on BOTH paths: determinism then never depends on sort
+    # stability or within-run tie order (remaining ties are identical rows)
+    t = _sort_table(pa.concat_tables(live), ["dst", "src", *extras])
+    cols = {n: t[n].to_numpy(zero_copy_only=False) for n in schema.names}
+    d = cols["dst"]
     if dedup_sort_src:
-        keys = [cols[n] for n in reversed(extras)] + [cols["src"], d]
-        order = np.lexsort(tuple(keys))
-        cols = {n: a[order] for n, a in cols.items()}
-        d = cols["dst"]
         keep = np.empty(len(d), dtype=bool)
         keep[0] = True
         keep[1:] = False
@@ -148,12 +161,11 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
             keep[1:] |= a[1:] != a[:-1]
         cols = {n: a[keep] for n, a in cols.items()}
         d = cols["dst"]
+        out = _table_of(cols, schema)
     else:
-        order = np.argsort(d, kind="stable")
-        cols = {n: a[order] for n, a in cols.items()}
-        d = cols["dst"]
+        out = t
     nuniq = 1 + int((d[1:] != d[:-1]).sum())
-    return _table_of(cols, schema), int(len(d)), nuniq
+    return out, int(len(d)), nuniq
 
 
 def raw_dst_exchange(
@@ -409,6 +421,12 @@ def sharded_prep(block, presorted: bool = False):
         keep[0] = True
         keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
         s, d = s[keep], d[keep]
+    if len(d) > np.iinfo(np.int32).max:
+        # one dst-range block holds every copy of its dst values, so a
+        # pathological hub (> 2^31 incident rows) would overflow the int32
+        # positional index — fail loudly; the fix at that scale is
+        # sub-splitting hot dst runs (see the HUB SKEW note in bsp.py)
+        raise ValueError(f"range block of {len(d)} rows exceeds int32 index")
     change = np.empty(len(d), dtype=bool)
     change[0] = True
     np.not_equal(d[1:], d[:-1], out=change[1:])

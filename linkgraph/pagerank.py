@@ -128,6 +128,12 @@ def _bsp_shuffle_prep(block):
         return empty, (0, 0)
     s = block["src"].to_numpy(zero_copy_only=False)
     d = block["dst"].to_numpy(zero_copy_only=False)
+    if len(d) > np.iinfo(np.int32).max:
+        # one dst-range block holds every copy of its dst values, so a
+        # pathological hub (> 2^31 incident rows) would overflow the int32
+        # positional index — fail loudly; the fix at that scale is
+        # sub-splitting hot dst runs (see the HUB SKEW note in bsp.py)
+        raise ValueError(f"range block of {len(d)} rows exceeds int32 index")
     change = np.empty(len(d), dtype=bool)
     change[0] = True
     np.not_equal(d[1:], d[:-1], out=change[1:])
@@ -348,6 +354,12 @@ def _bsp_dir_prep(block):
     s = block["src"].to_numpy(zero_copy_only=False)
     d = block["dst"].to_numpy(zero_copy_only=False)
     f = block["f"].to_numpy(zero_copy_only=False)
+    if len(d) > np.iinfo(np.int32).max:
+        # one dst-range block holds every copy of its dst values, so a
+        # pathological hub (> 2^31 incident rows) would overflow the int32
+        # positional index — fail loudly; the fix at that scale is
+        # sub-splitting hot dst runs (see the HUB SKEW note in bsp.py)
+        raise ValueError(f"range block of {len(d)} rows exceeds int32 index")
     change = np.empty(len(d), dtype=bool)
     change[0] = True
     np.not_equal(d[1:], d[:-1], out=change[1:])
