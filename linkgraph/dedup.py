@@ -123,9 +123,11 @@ class MinHasher:
 
 
 def _band_rows(t: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
-    sig = np.stack(
-        [np.asarray(x) for x in t["sig"].to_pylist()]
-    ) if len(t) else np.empty((0, bands * rows_per_band), dtype=np.int64)
+    from linkgraph.runtime import list_column_to_matrix
+
+    sig = list_column_to_matrix(t["sig"], np.int64) if len(t) else np.empty(
+        (0, bands * rows_per_band), dtype=np.int64
+    )
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     out_band, out_hash, out_id = [], [], []
     with np.errstate(over="ignore"):
@@ -278,8 +280,10 @@ def minhash_lsh_dedup(
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        sa = np.stack([np.asarray(x) for x in t["sig_a"].to_pylist()])
-        sb = np.stack([np.asarray(x) for x in t["sig_b"].to_pylist()])
+        from linkgraph.runtime import list_column_to_matrix
+
+        sa = list_column_to_matrix(t["sig_a"], np.int64)
+        sb = list_column_to_matrix(t["sig_b"], np.int64)
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pa.table(
@@ -493,7 +497,9 @@ def embedding_neardup(
     def sketch(t: pa.Table) -> pa.Table:
         pl = ray.get(ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        from linkgraph.runtime import list_column_to_matrix
+
+        mat = list_column_to_matrix(t[vec_col], np.float64)
         outb, outv, outi = [], [], []
         for ti in range(n_tables):
             bits = (mat @ pl[ti].T) > 0
@@ -549,8 +555,10 @@ def embedding_neardup(
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})
-        va = np.stack([np.asarray(v, dtype=np.float64) for v in t["vec_a"].to_pylist()])
-        vb = np.stack([np.asarray(v, dtype=np.float64) for v in t["vec_b"].to_pylist()])
+        from linkgraph.runtime import list_column_to_matrix
+
+        va = list_column_to_matrix(t["vec_a"], np.float64)
+        vb = list_column_to_matrix(t["vec_b"], np.float64)
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0] = 1.0

@@ -77,3 +77,35 @@ def tune_context() -> DataContext:
     except Exception:  # pragma: no cover - option renamed/removed upstream
         pass
     return ctx
+
+
+def list_column_to_matrix(col, dtype=None):
+    """Uniform-length (chunked) list column → ``(n, d)`` numpy matrix.
+
+    Fixed-size-list and uniform ``list<T>`` columns convert via the flat
+    values buffer (one reshape, no per-row Python objects — ``to_pylist``
+    measured 30-80× slower on embedding/signature columns); ragged or
+    null-bearing columns fall back to the object path.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dtype = dtype or np.float64
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    t = col.type
+    if pa.types.is_fixed_size_list(t) and col.null_count == 0:
+        d = t.list_size
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        return vals.astype(dtype, copy=False).reshape(n, d)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and col.null_count == 0:
+        widths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if len(widths) and (widths == widths[0]).all():
+            d = int(widths[0])
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return vals.astype(dtype, copy=False).reshape(n, d)
+    return np.asarray(col.to_pylist(), dtype=dtype)

@@ -26,10 +26,9 @@ import ray.data as rd
 
 
 def _to_matrix(col) -> np.ndarray:
-    vals = col.to_pylist()
-    if not vals:
-        return np.empty((0, 0))
-    return np.asarray(vals, dtype=np.float64)
+    from linkgraph.runtime import list_column_to_matrix
+
+    return list_column_to_matrix(col, np.float64)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
