@@ -246,12 +246,34 @@ def _ngram_jaccard_dedup(sf_dir: str):
 
 
 def _embedding_neardup(sf_dir: str):
+    """The driver's embeddings table has no near-duplicate pairs (measured
+    max pairwise cosine 0.51 at sf0.01), so the operator is exercised on
+    the table UNIONed with copies of its 20 lowest-vec_id rows under
+    offset ids — every planted pair must come back as a 2-cluster."""
     import ray.data as rd
 
     from linkgraph import dedup
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.embedding_neardup(emb, threshold=0.98, num_partitions=8)
+    dup_offset = 10_000_000
+
+    def dup_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(t["vec_id"], 20)
+        d = t.filter(keep)
+        return pa.table(
+            {
+                "vec_id": pa.compute.add(d["vec_id"], dup_offset),
+                "embedding": d["embedding"],
+                "label": d["label"],
+            }
+        )
+
+    dups = rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        dup_first, batch_format="pyarrow"
+    )
+    return dedup.embedding_neardup(emb.union(dups), threshold=0.98, num_partitions=8)
 
 
 def _knn_ivf(sf_dir: str):
