@@ -175,3 +175,34 @@ def test_pagerank_directed_bsp_checkpoint_resume(tmp_ckpt):
     got = {r["vertex"]: r["rank"] for r in resumed.ranks.take_all()}
     assert want.keys() == got.keys()
     assert all(abs(want[v] - got[v]) < 1e-12 for v in want)
+
+
+def test_pagerank_explicit_isolated_vertices_get_teleport_share():
+    """Explicit vertex set with isolated ids: they are dangling (out-degree
+    0) AND receive only the teleport+dangling share — must match the dense
+    oracle, and ranks must still sum to 1."""
+    src = np.array([0, 1, 3, 3], dtype=np.int64)
+    dst = np.array([1, 2, 4, 5], dtype=np.int64)
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(8, dtype=np.int64)}))
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    res = pagerank(edges, directed=True, vertices=verts, num_partitions=4, tol=1e-13)
+    exp = oracle.pagerank(src, dst, 8)
+    got = ranks_vec(res.ranks, 8)
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_multigraph_duplicates_and_loops_collapse():
+    """Parallel edges and self-loops: the engine dedups and drops loops
+    (src/graph.c:71-104 keeps them — PageRank explicitly diverges, SURVEY
+    §2.7); result must equal the oracle on the cleaned simple graph."""
+    src = np.array([0, 0, 0, 1, 2, 2, 3], dtype=np.int64)
+    dst = np.array([1, 1, 1, 2, 2, 0, 3], dtype=np.int64)  # dup 0→1 ×3, loop 2→2, loop 3→3
+    clean_s = np.array([0, 1, 2], dtype=np.int64)
+    clean_d = np.array([1, 2, 0], dtype=np.int64)
+    verts = rd.from_arrow(pa.table({"vertex": np.arange(4, dtype=np.int64)}))
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    res = pagerank(edges, directed=True, vertices=verts, num_partitions=2, tol=1e-13)
+    exp = oracle.pagerank(clean_s, clean_d, 4)
+    got = ranks_vec(res.ranks, 4)
+    assert np.allclose(got, exp, atol=1e-6)
