@@ -128,6 +128,33 @@ def _cc_membership(sf_dir: str):
     return connected_components(membership_edges(sf_dir), num_partitions=8).labels
 
 
+def _cc_membership_from_mtx(sf_dir: str):
+    """Reference-parity source path: the membership graph is round-tripped
+    through a Matrix Market file (``sources.write_mtx`` → distributed
+    ``sources.read_mtx``, re-expressing ``src/mtx_reader.c:78-214``) before
+    CC — value-checked against the same recursive-CTE oracle.  MTX ids are
+    1-indexed on disk, so vertex ids survive exactly."""
+    import os
+    import tempfile
+
+    from linkgraph.cc import connected_components
+    from linkgraph.pipelines import membership_edges
+    from linkgraph.sources import read_mtx, write_mtx
+
+    df = membership_edges(sf_dir).to_pandas()
+    path = os.path.join(
+        tempfile.gettempdir(), f"linkgraph_membership_{abs(hash(sf_dir))}.mtx"
+    )
+    write_mtx(
+        path,
+        df["src"].to_numpy(),
+        df["dst"].to_numpy(),
+        num_vertices=int(max(df["src"].max(), df["dst"].max()) + 1),
+    )
+    edges, _info = read_mtx(path)
+    return connected_components(edges, num_partitions=8).labels
+
+
 def _cc_membership_sizes(sf_dir: str):
     from linkgraph.cc import component_stats, connected_components
     from linkgraph.pipelines import membership_edges
@@ -358,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_vec0_top10": R.knn_vec0_top10,
         # graph kernels, value-checked (DuckDB recursive/unrolled CTE oracles)
         "cc_membership": _cc_membership,
+        "cc_membership_from_mtx": _cc_membership_from_mtx,
         "cc_membership_sizes": _cc_membership_sizes,
         "cc_membership_summary": _cc_membership_summary,
         "labelprop_membership": _labelprop_membership,
@@ -454,6 +482,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "cc_membership": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            )
+            SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "cc_membership_from_mtx": """
             WITH RECURSIVE e AS (
               SELECT CAST(c_custkey AS BIGINT) AS src,
                      CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
