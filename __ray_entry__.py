@@ -416,43 +416,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Float aggregates use the engine's exact fixed-point contract: the
+        # inputs are N-dp decimals (TPC-H DECIMAL semantics), so both sides
+        # sum int64 scaled units (order-free, bit-exact at any parallelism)
+        # and divide back to double once at finalize.  See
+        # linkgraph/relational.py lineitem_pricing_summary docstring.
         "lineitem_pricing_summary": """
+            WITH f AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity) AS BIGINT) AS qty_c,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+                     CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS disc_pct
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            )
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
+                   CAST(sum(qty_c) AS DOUBLE) AS sum_qty,
+                   CAST(sum(base_c) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(base_c * disc_pct) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(sum(qty_c) AS DOUBLE) / count(*) AS avg_qty,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
+            FROM f GROUP BY l_returnflag, l_linestatus
         """,
         "orders_priority_stats": """
             SELECT o_orderpriority,
                    min(o_totalprice) AS min_price,
                    max(o_totalprice) AS max_price,
-                   avg(o_totalprice) AS avg_price,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 / count(*) AS avg_price,
                    count(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
-                   sum(value) AS sum_value, avg(value) AS avg_value
+                   CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0 AS sum_value,
+                   CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0 / count(*) AS avg_value
             FROM events GROUP BY event_type
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "orders_per_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(o_totalprice) AS total_price
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "customers_per_nation": """
-            SELECT n_name, count(*) AS n_customers, sum(c_acctbal) AS sum_acctbal
+            SELECT n_name, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,

@@ -48,6 +48,88 @@ def _key_hash(t: pa.Table, on: list[str], seed: int) -> np.ndarray:
     return acc
 
 
+def broadcast_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    max_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """Inner join where ``right`` is a small unique-keyed lookup table.
+
+    The small side is materialized ONCE, ``ray.put`` into the object store,
+    and every map task attaches its payload columns by a vectorized
+    sorted-array binary search (``np.searchsorted``) + Arrow ``take`` — no
+    shuffle of the big side, no per-row Python.  This is the broadcast-hash
+    join every engine uses for dimension tables; at 100 TB the fact side
+    streams through untouched while the dimension rides the object store.
+
+    Requirements: ``right_on`` values are unique int64 keys (a lookup table —
+    same contract as ``bucket_join``'s salted right side).  If ``right`` has
+    more than ``max_rows`` rows, falls back to the shuffling ``bucket_join``
+    automatically so callers can use this unconditionally.
+    """
+    import ray
+
+    from linkgraph.runtime import resolve_concurrency
+
+    tbl = pa.concat_tables(
+        ray.get(right.to_arrow_refs()), promote_options="default"
+    ).combine_chunks()
+    payload_cols = [c for c in tbl.column_names if c != right_on]
+    if len(tbl) > max_rows:
+        lkey = left_on
+
+        def rn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [lkey if c == right_on else c for c in t.column_names]
+            )
+
+        return bucket_join(
+            left,
+            rd.from_arrow(tbl).map_batches(rn, batch_format="pyarrow"),
+            [left_on],
+            right_payload={c: tbl.schema.field(c).type for c in payload_cols},
+        )
+
+    keys = tbl[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+    pay = tbl.select(payload_cols).take(pa.array(order)).combine_chunks()
+    ref = ray.put((skeys, pay))
+
+    class Attach:
+        def __init__(self):
+            import ray as _ray
+
+            self.skeys, self.pay = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0 or len(self.skeys) == 0:
+                cols = {
+                    c: pa.array([], t.schema.field(c).type)
+                    for c in (t.column_names if t.num_columns else [])
+                }
+                for c in payload_cols:
+                    cols[c] = pa.array([], self.pay.schema.field(c).type)
+                return pa.table(cols or {left_on: pa.array([], pa.int64())})
+            k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            idx = np.searchsorted(self.skeys, k)
+            idx_c = np.minimum(idx, len(self.skeys) - 1)
+            hit = self.skeys[idx_c] == k
+            kept = t.filter(pa.array(hit))
+            take_idx = pa.array(idx_c[hit])
+            cols = {c: kept[c] for c in kept.column_names}
+            for c in payload_cols:
+                cols[c] = self.pay[c].take(take_idx)
+            return pa.table(cols)
+
+    return left.map_batches(
+        Attach, batch_format="pyarrow", concurrency=resolve_concurrency(None)
+    )
+
+
 def bucket_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -32,7 +32,20 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
 # -- filters / projections / aggregations -----------------------------------
 
 def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q1-shaped: filter on ship date, grouped pricing aggregates."""
+    """TPC-H Q1-shaped: filter on ship date, grouped pricing aggregates.
+
+    Float ``Sum`` over distributed partials is order-dependent in the last
+    bits (Ray combines blocks in nondeterministic order; DuckDB sums in scan
+    order), which failed the driver's value hash in round 1.  The quantities
+    here are fixed-point decimals (quantity integral, price/discount 2 dp) —
+    TPC-H defines them as DECIMAL — so the deterministic fix is EXACT
+    fixed-point aggregation: scale to int64 cents in the map, Sum integers
+    (associative/commutative, order-free), divide once at finalize.  The
+    oracle SQL applies the identical contract, so both sides produce
+    bit-identical doubles at any parallelism.  Headroom: disc_price is
+    scaled by 1e4 (≤1e9/row), so int64 partial sums hold to ~9e9 rows per
+    group per block — combine via hugeint/float128 partials beyond that.
+    """
     li = _read(
         sf_dir,
         "lineitem",
@@ -42,48 +55,134 @@ def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        qty_c = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, t["l_discount"]), 100.0)), pa.int64()
+        )
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "disc_price": disc_price,
+                "qty_c": qty_c,
+                "base_c": base_c,
+                "disc_c": pc.multiply(base_c, disc_pct),
             }
         )
 
-    return (
+    agg = (
         li.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np())
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
+            Sum("qty_c", alias_name="qty_sum"),
+            Sum("base_c", alias_name="base_sum"),
+            Sum("disc_c", alias_name="disc_sum"),
             Count(alias_name="count_order"),
         )
     )
 
+    def fin(t: pa.Table) -> pa.Table:
+        qty = t["qty_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        base = t["base_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = t["disc_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "sum_base_price": pa.array(base / 100.0),
+                "sum_disc_price": pa.array(disc / 10000.0),
+                "avg_qty": pa.array(qty / cnt),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
 
 def orders_priority_stats(sf_dir: str) -> rd.Dataset:
-    """min/max/avg/count of order totals per priority (scalar aggregates)."""
+    """min/max/avg/count of order totals per priority (scalar aggregates).
+
+    Min/Max are order-free; the Mean goes through the exact fixed-point
+    contract (cents int64 sum / count) so the value is deterministic at any
+    block order — see ``lineitem_pricing_summary``.
+    """
     o = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    return o.groupby("o_orderpriority", num_partitions=_np()).aggregate(
-        Min("o_totalprice", alias_name="min_price"),
-        Max("o_totalprice", alias_name="max_price"),
-        Mean("o_totalprice", alias_name="avg_price"),
-        Count(alias_name="n_orders"),
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_totalprice": t["o_totalprice"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        o.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority", num_partitions=_np())
+        .aggregate(
+            Min("o_totalprice", alias_name="min_price"),
+            Max("o_totalprice", alias_name="max_price"),
+            Sum("price_c", alias_name="price_sum"),
+            Count(alias_name="n_orders"),
+        )
     )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["price_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "min_price": t["min_price"],
+                "max_price": t["max_price"],
+                "avg_price": pa.array(s / 100.0 / cnt),
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def events_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-type count/sum/mean; values are 6-dp decimals, aggregated exactly
+    at scale 1e6 (deterministic — see ``lineitem_pricing_summary``)."""
     ev = _read(sf_dir, "events", ["event_type", "value"])
-    return ev.groupby("event_type", num_partitions=_np()).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
-        Mean("value", alias_name="avg_value"),
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_u": pc.cast(
+                    pc.round(pc.multiply(t["value"], 1000000.0)), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=_np())
+        .aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="value_sum"))
     )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["value_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sv = s / 1000000.0
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(sv),
+                "avg_value": pa.array(sv / cnt),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def events_hourly(sf_dir: str) -> rd.Dataset:
@@ -96,78 +195,111 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
             {
                 "hour": pc.floor_temporal(t["ts"], unit="hour"),
                 "event_type": t["event_type"],
-                "value": t["value"],
+                "value_u": pc.cast(
+                    pc.round(pc.multiply(t["value"], 1000000.0)), pa.int64()
+                ),
             }
         )
 
-    return (
+    agg = (
         ev.map_batches(trunc, batch_format="pyarrow")
         .groupby(["hour", "event_type"], num_partitions=_np())
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="value_sum"))
     )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["value_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                # floor_temporal on a second-truncated source can narrow to
+                # timestamp[s]; pin [us] so the output schema is stable.
+                "hour": pc.cast(t["hour"], pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(s / 1000000.0),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 # -- joins -------------------------------------------------------------------
 
 def orders_per_segment(sf_dir: str) -> rd.Dataset:
-    """orders ⋈ customer on custkey → per-market-segment order stats."""
-    from linkgraph.partition import bucket_join
+    """orders ⋈ customer on custkey → per-market-segment order stats.
+
+    customer is the dimension side, so the join is a BROADCAST join (one
+    ``ray.put`` of the custkey→segment lookup, vectorized searchsorted apply
+    per batch) — the fact table streams through with no shuffle; at dimension
+    sizes past ``broadcast_join``'s gate it degrades to the bucketed shuffle
+    join automatically.  Prices are 2-dp decimals, so the Sum uses the same
+    exact fixed-point contract as ``lineitem_pricing_summary``.
+    """
+    from linkgraph.partition import broadcast_join
 
     o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: pa.table({"custkey": t["o_custkey"], "o_totalprice": t["o_totalprice"]}),
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
         batch_format="pyarrow",
     )
-    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        lambda t: pa.table({"custkey": t["c_custkey"], "c_mktsegment": t["c_mktsegment"]}),
-        batch_format="pyarrow",
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(o, c, left_on="o_custkey", right_on="c_custkey")
+    agg = joined.groupby("c_mktsegment", num_partitions=_np()).aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_sum")
     )
-    joined = bucket_join(
-        o,
-        c,
-        ["custkey"],
-        left_payload={"o_totalprice": pa.float64()},
-        right_payload={"c_mktsegment": pa.string()},
-    )
-    return joined.groupby("c_mktsegment", num_partitions=_np()).aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
-    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["price_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": t["n_orders"],
+                "total_price": pa.array(s / 100.0),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def customers_per_nation(sf_dir: str) -> rd.Dataset:
-    """customer ⋈ nation (broadcast small side — nation has 25 rows)."""
-    import ray
+    """customer ⋈ nation — broadcast join (25-row dimension), vectorized
+    searchsorted+take apply (no per-row Python), exact 2-dp fixed-point Sum."""
+    from linkgraph.partition import broadcast_join
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    ref = ray.put(dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"])))
-
-    class AttachNation:
-        def __init__(self):
-            import ray as _ray
-
-            self.lookup = _ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            names = [self.lookup[int(k)] for k in keys]
-            return pa.table(
-                {"n_name": pa.array(names, pa.string()), "c_acctbal": t["c_acctbal"]}
-            )
-
-    c = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-    from linkgraph.runtime import resolve_concurrency
-
-    return (
-        c.map_batches(
-            AttachNation,
-            batch_format="pyarrow",
-            concurrency=resolve_concurrency(None),
-        )
-        .groupby("n_name", num_partitions=_np())
-        .aggregate(
-            Count(alias_name="n_customers"),
-            Sum("c_acctbal", alias_name="sum_acctbal"),
-        )
+    c = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_nationkey": t["c_nationkey"],
+                "bal_c": pc.cast(
+                    pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = broadcast_join(c, nation, left_on="c_nationkey", right_on="n_nationkey")
+    agg = joined.groupby("n_name", num_partitions=_np()).aggregate(
+        Count(alias_name="n_customers"), Sum("bal_c", alias_name="bal_sum")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["bal_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "n_customers": t["n_customers"],
+                "sum_acctbal": pa.array(s / 100.0),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 # -- sorts / top-k / distinct ------------------------------------------------
