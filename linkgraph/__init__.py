@@ -31,8 +31,14 @@ _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 # polars sizes its global thread pool at import; inside 1-CPU Ray tasks the
 # default (ncpus) oversubscribes 32× when every worker sorts concurrently.
 # Workers import this module, and polars is imported lazily afterwards
-# (bsp._sort_cols), so the cap lands before the pool exists.
-_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# (bsp._sort_cols), so the cap lands before the pool exists.  Scope the cap
+# to Ray WORKER processes only — in the driver (or any host application
+# importing linkgraph) polars keeps its full pool, e.g. for Ray Data's
+# driver-side use_polars_sort path.
+import sys as _sys
+
+if "default_worker.py" in _os.path.basename(_sys.argv[0] or ""):
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 try:  # numpy 1.18-1.26 private-but-stable API; numpy 2.x moved np.core
     import numpy as _np
 

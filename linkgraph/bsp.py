@@ -150,9 +150,9 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
     # full-key sort on BOTH paths: determinism then never depends on sort
     # stability or within-run tie order (remaining ties are identical rows)
     t = _sort_table(pa.concat_tables(live), ["dst", "src", *extras])
-    cols = {n: t[n].to_numpy(zero_copy_only=False) for n in schema.names}
-    d = cols["dst"]
+    d = t["dst"].to_numpy(zero_copy_only=False)
     if dedup_sort_src:
+        cols = {n: t[n].to_numpy(zero_copy_only=False) for n in schema.names}
         keep = np.empty(len(d), dtype=bool)
         keep[0] = True
         keep[1:] = False
@@ -163,6 +163,8 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
         d = cols["dst"]
         out = _table_of(cols, schema)
     else:
+        # non-dedup path only needs dst for the unique count — skip the
+        # full-table numpy materialization in this hot exchange task
         out = t
     nuniq = 1 + int((d[1:] != d[:-1]).sum())
     return out, int(len(d)), nuniq

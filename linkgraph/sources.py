@@ -36,8 +36,15 @@ def _parse_batch(t: pa.Table, num_vertices: int) -> pa.Table:
     split → cast first two tokens to int64 (Arrow C kernels throughout —
     the original Python line loop ran 4× slower than the reference's C
     ``fscanf`` reader; this parses ~16 M lines/s/core).  Malformed numeric
-    tokens fall back to a per-line loop for that block only, matching the
-    reference's skip-bad-lines behavior (``src/mtx_reader.c:144-193``)."""
+    tokens fall back to a per-line loop for that block only.
+
+    DIVERGENCE from the reference: ``src/mtx_reader.c:144-193`` treats a
+    short or out-of-range line as a HARD ERROR and aborts the read.  At
+    100-TB scale one corrupt shard must not kill the job, so this engine
+    drops bad lines instead — but loudly: every drop is counted and logged
+    per batch so silent truncation is visible in the worker logs."""
+    import logging
+
     import pyarrow.compute as pc
 
     col = pc.utf8_trim_whitespace(t["text"])
@@ -47,9 +54,14 @@ def _parse_batch(t: pa.Table, num_vertices: int) -> pa.Table:
     col = col.filter(keep)
     if len(col) == 0:
         return _EMPTY_SRC_DST
+    n_data = len(col)
     parts = pc.utf8_split_whitespace(col)
     parts = parts.filter(pc.greater_equal(pc.list_value_length(parts), 2))
     if len(parts) == 0:
+        logging.getLogger(__name__).warning(
+            "read_mtx: dropped %d malformed line(s) in one batch "
+            "(reference aborts here; we drop-and-count)", n_data
+        )
         return _EMPTY_SRC_DST
     try:
         u = pc.cast(pc.list_element(parts, 0), pa.int64()).to_numpy(
@@ -66,12 +78,21 @@ def _parse_batch(t: pa.Table, num_vertices: int) -> pa.Table:
             except ValueError:
                 continue
         if not rows:
+            logging.getLogger(__name__).warning(
+                "read_mtx: dropped %d malformed line(s) in one batch", n_data
+            )
             return _EMPTY_SRC_DST
         arr = np.asarray(rows, dtype=np.int64)
         u, v = arr[:, 0], arr[:, 1]
     u = u - 1  # 1-indexed → 0-indexed
     v = v - 1
     ok = (u >= 0) & (u < num_vertices) & (v >= 0) & (v < num_vertices)
+    dropped = n_data - int(ok.sum())
+    if dropped:
+        logging.getLogger(__name__).warning(
+            "read_mtx: dropped %d malformed/out-of-range line(s) in one "
+            "batch (reference aborts here; we drop-and-count)", dropped
+        )
     return pa.table({"src": u[ok], "dst": v[ok]})
 
 
@@ -117,16 +138,22 @@ def _range_lines(path: str, start: int, end: int, file_size: int) -> pa.Array:
         if chunk and not chunk.endswith(b"\n") and end < file_size:
             chunk += f.readline()  # finish our last line
     buf = np.frombuffer(chunk, np.uint8)
-    nl = np.flatnonzero(buf == 0x0A).astype(np.int32)
-    starts = np.concatenate([np.zeros(1, np.int32), nl + 1])
+    # string offsets are int32 → a ≥2 GiB range would silently wrap into a
+    # corrupt array; switch to large_string (int64 offsets) past the limit
+    # (hit when a caller passes a small num_blocks for a huge file)
+    large = len(buf) > np.iinfo(np.int32).max
+    odt = np.int64 if large else np.int32
+    nl = np.flatnonzero(buf == 0x0A).astype(odt)
+    starts = np.concatenate([np.zeros(1, odt), nl + 1])
     if starts[-1] >= len(buf):  # trailing newline → no final partial line
         starts = starts[:-1]
     # each value spans [start_i, start_{i+1}) and so KEEPS its trailing
     # newline — one offsets vector over the raw buffer is then exact and
     # the construction is zero-copy; the parser's utf8_trim_whitespace
     # strips the newline with the rest of the padding
-    offsets = np.concatenate([starts, np.asarray([len(buf)], np.int32)])
-    return pa.StringArray.from_buffers(
+    offsets = np.concatenate([starts, np.asarray([len(buf)], odt)])
+    cls = pa.LargeStringArray if large else pa.StringArray
+    return cls.from_buffers(
         len(starts),
         pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
         pa.py_buffer(chunk),
