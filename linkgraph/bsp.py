@@ -58,18 +58,26 @@ def dst_sorted(sym_edges: rd.Dataset) -> rd.Dataset:
 # (boundaries split with one consistent ``searchsorted`` side).
 #
 # HUB SKEW: the equal-dst-in-one-table rule concentrates a celebrity
-# vertex's whole in-incidence list in one merge/owner block.  Boundary
+# vertex's whole in-incidence list in one merge/owner range.  Boundary
 # sampling adapts everywhere else (ranges equalize by row count), so the
-# worst case is ONE block ≈ max in-degree rows — at web scale (10^8
-# in-links ≈ 1.6 GB) large but within a worker heap, and only that block's
-# tasks slow down (the emit side is unaffected: emits split by OWNER range
-# and pre-combine per target, the owner receives ≤ K pre-reduced partials
-# per superstep, exactly the hub-salting shape).  If a future input exceeds
-# the heap, the fix is sub-splitting hot dst runs across blocks and adding
-# an owner-side combine keyed on the split — the consumers that assume
-# dst-disjointness (segment-min/sum) already reduce per dst first, so the
-# extra combine is the only new step.
+# worst case is ONE range ≈ max in-degree rows.  Ranges larger than
+# ``max_block_rows`` are therefore SUB-SPLIT after the merge into bounded
+# sub-blocks (possibly cutting inside a dst run).  Per-vertex state keeps a
+# single owner: ownership stays at the RANGE ("owner group") level — one
+# state shard per group, many bounded sub-blocks per group — so the
+# emit-side routing by owner range is unchanged and no vertex is ever
+# replicated.  Consumers reduce per dst within each sub-block and COMBINE
+# per-dst partials at the owner (min for labels, add for rank mass), which
+# is exact because both reductions are associative.  The emit side was
+# already hub-safe (emits split by owner range and pre-combine per target,
+# so an owner receives ≤ #sub-blocks pre-reduced partials per superstep).
 # ---------------------------------------------------------------------------
+
+# Default sub-split threshold: 64 M rows ≈ 1 GB of (src, dst) pairs per
+# sub-block — bounds any single task's memory and keeps every int32
+# row index valid no matter how hot a hub is.  Tests shrink it to force
+# splits on small graphs; pass max_block_rows=0 to disable splitting.
+DEFAULT_MAX_BLOCK_ROWS = 64 * 1024 * 1024
 
 
 @ray.remote(num_cpus=1)
@@ -170,12 +178,56 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
     return out, int(len(d)), nuniq
 
 
+@ray.remote(num_cpus=1)
+def _slice_block_task(block, cuts: np.ndarray, schema: pa.Schema) -> list:
+    """Row-slice one oversized dst-sorted block into bounded sub-blocks
+    (call with ``num_returns=len(cuts)+1``).  Sub-blocks are rebuilt from
+    numpy slices so a pickled slice doesn't carry the parent buffer."""
+    cols = _cols_of(block, schema)
+    n = len(cols["dst"])
+    bpts = np.concatenate([[0], cuts, [n]])
+    return [
+        _table_of({nm: a[bpts[i] : bpts[i + 1]] for nm, a in cols.items()}, schema)
+        for i in range(len(bpts) - 1)
+    ]
+
+
+def _finish_merges(
+    merged: list, schema: pa.Schema, max_block_rows: int | None, grouped: bool
+) -> tuple[list, int, int]:
+    """Common exchange tail: pull counts, sub-split oversized ranges into
+    bounded sub-blocks (one owner GROUP per range), return flat refs or
+    groups.  ``max_block_rows=None`` → module default; ``0`` disables."""
+    if max_block_rows is None:
+        max_block_rows = DEFAULT_MAX_BLOCK_ROWS
+    counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
+    rows = counts[: len(merged)]
+    n = int(sum(rows))
+    n_uniq = int(sum(counts[len(merged) :]))
+    groups: list[list] = []
+    for m, r in zip(merged, rows):
+        if max_block_rows and r > max_block_rows:
+            s = -(-r // max_block_rows)  # ceil
+            cuts = (np.arange(1, s) * r) // s
+            subs = _slice_block_task.options(num_returns=s).remote(
+                m[0], cuts, schema
+            )
+            groups.append(list(subs))
+        else:
+            groups.append([m[0]])
+    if grouped:
+        return groups, n, n_uniq
+    return [b for g in groups for b in g], n, n_uniq
+
+
 def raw_dst_exchange(
     sym_edges: rd.Dataset,
     *,
     dedup_sort_src: bool = False,
     samples_per_block: int = 2000,
     schema: pa.Schema = _PAIR_SCHEMA,
+    max_block_rows: int | None = None,
+    grouped: bool = False,
 ) -> tuple[list, int, int]:
     """Range-exchange a (src, dst) dataset by ``dst`` with raw tasks.
 
@@ -184,7 +236,12 @@ def raw_dst_exchange(
     sharded/broadcast consumer directly.  Post-symmetrize the unique-dst
     count IS the vertex count — every per-node-envelope gate reads it here
     instead of paying a separate probe.  Wrap the refs with
-    ``ray.data.from_arrow_refs`` where a Dataset is needed."""
+    ``ray.data.from_arrow_refs`` where a Dataset is needed.
+
+    Ranges larger than ``max_block_rows`` (hub skew) are sub-split into
+    bounded sub-blocks; with ``grouped=True`` the first element of the
+    return is ``list[list[ref]]`` — one owner GROUP per key range — for
+    the sharded-state consumers that need single-owner vertex ranges."""
     pre = sym_edges.materialize()
     refs = dataset_block_refs(pre)
     if not refs:
@@ -194,14 +251,14 @@ def raw_dst_exchange(
     samples = [x for x in samples if len(x)]
     if not samples:
         m = _merge_range_task.remote(dedup_sort_src, schema, *refs)
-        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
+        return _finish_merges([m], schema, max_block_rows, grouped)
     alls = np.sort(np.concatenate(samples))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)  # duplicate boundaries → empty ranges, drop
     nk = len(bounds) + 1
     if nk == 1:  # degenerate key range: merge everything into one block
         m = _merge_range_task.remote(dedup_sort_src, schema, *refs)
-        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
+        return _finish_merges([m], schema, max_block_rows, grouped)
     bref = ray.put(bounds)
     parts = [
         _range_split_task.options(num_returns=nk).remote(r, bref, schema)
@@ -211,10 +268,7 @@ def raw_dst_exchange(
         _merge_range_task.remote(dedup_sort_src, schema, *[parts[i][j] for i in range(k)])
         for j in range(nk)
     ]
-    counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
-    n = int(sum(counts[: len(merged)]))
-    n_uniq = int(sum(counts[len(merged) :]))
-    return [m[0] for m in merged], n, n_uniq
+    return _finish_merges(merged, schema, max_block_rows, grouped)
 
 
 @ray.remote(num_cpus=1, num_returns=2)
@@ -264,12 +318,15 @@ def raw_map_dst_exchange(
     dedup_sort_src: bool = False,
     samples_per_block: int = 2000,
     schema: pa.Schema = _PAIR_SCHEMA,
+    max_block_rows: int | None = None,
+    grouped: bool = False,
 ) -> tuple[list, int, int]:
     """Fused map + range exchange by ``dst``: ``map_fn`` (a pure
     Table → (src, dst) Table function) runs inside the sort/sample task of
     each INPUT block, so only the input and the final ranges ever occupy
     the object store — the map output is never a materialized
-    intermediate.  Same return contract as :func:`raw_dst_exchange`."""
+    intermediate.  Same return contract as :func:`raw_dst_exchange`
+    (including hub sub-splitting and ``grouped`` owner groups)."""
     refs = dataset_block_refs(ds.materialize())
     if not refs:
         return [], 0, 0
@@ -283,14 +340,14 @@ def raw_map_dst_exchange(
     samples = [x for x in samples if len(x)]
     if not samples:
         m = _merge_range_task.remote(dedup_sort_src, schema, *sorted_refs)
-        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
+        return _finish_merges([m], schema, max_block_rows, grouped)
     alls = np.sort(np.concatenate(samples))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)
     nk = len(bounds) + 1
     if nk == 1:
         m = _merge_range_task.remote(dedup_sort_src, schema, *sorted_refs)
-        return [m[0]], int(ray.get(m[1])), int(ray.get(m[2]))
+        return _finish_merges([m], schema, max_block_rows, grouped)
     bref = ray.put(bounds)
     parts = [
         _split_presorted_task.options(num_returns=nk).remote(r, bref, schema)
@@ -300,10 +357,7 @@ def raw_map_dst_exchange(
         _merge_range_task.remote(dedup_sort_src, schema, *[parts[i][j] for i in range(k)])
         for j in range(nk)
     ]
-    counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
-    n = int(sum(counts[: len(merged)]))
-    n_uniq = int(sum(counts[len(merged) :]))
-    return [m[0] for m in merged], n, n_uniq
+    return _finish_merges(merged, schema, max_block_rows, grouped)
 
 
 def dataset_block_refs(ds: rd.Dataset) -> list:
@@ -327,13 +381,16 @@ def vertex_ids(
 ) -> np.ndarray:
     """Sorted vertex-id vector from dst-sorted symmetrized edge blocks.
 
-    Post-symmetrize the dst set IS the vertex set, and dst-partitioned
-    blocks have disjoint dst sets — per-block uniques concatenate to the
-    exact global set with no further dedup.  Raw tasks, no execution.
-    """
+    Post-symmetrize the dst set IS the vertex set.  Blocks have disjoint
+    dst sets except at hub sub-split cuts, where the cut vertex appears in
+    two adjacent sub-blocks — per-block uniques concatenate sorted, and a
+    final ``np.unique`` (cheap on the already-sorted concat) drops the cut
+    duplicates.  Raw tasks, no execution."""
     parts = ray.get([_uniq_dst_task.remote(b) for b in block_refs])
     parts = [p for p in parts if len(p)]
-    ids = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    ids = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
     if extra:
         ids = np.unique(np.concatenate([ids] + list(extra)))
     return ids
@@ -381,10 +438,14 @@ def positional_index(block_refs: list, ids: np.ndarray, *, dedup: bool = False) 
 # ---------------------------------------------------------------------------
 # sharded-state min-label machinery (CC/LP beyond the driver-broadcast gate)
 #
-# Per-vertex labels live as one shard per dst-sorted block (aligned vertex
-# ranges, like PageRank's BSP mode).  A superstep is one emit round (each
-# shard pushes its labels along its rows, split per owner) + one apply round
-# (owners take mins); long label chains are cut by sharded pointer jumping
+# Per-vertex labels live as ONE STATE SHARD PER OWNER GROUP (one group per
+# key range of the exchange; a group has one sub-block normally, several
+# when a hub forced a sub-split — see the HUB SKEW note above).  A
+# superstep is one emit round (each sub-block pushes its group's labels
+# along its rows, split per owner group) + one apply round (owners take
+# mins over all received chunks — chunks from two sub-blocks of the same
+# hub run may target the same vertex; min is associative so the combine is
+# exact); long label chains are cut by sharded pointer jumping
 # (label[label[v]] fetched through a request/reply/update task round-trip).
 # Only (target, candidate) chunks and lookup chunks move; the driver sees
 # per-shard changed counts.  Ref parity: the owner-computes update exchange
@@ -394,26 +455,54 @@ def positional_index(block_refs: list, ids: np.ndarray, *, dedup: bool = False) 
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def sharded_prep(block, presorted: bool = False):
-    """One dst-sorted symmetrized block → static emit arrays + metadata.
+def group_vertices(*blocks):
+    """One owner group's dst-sorted sub-blocks → ``(vids, deg)`` + ``(n,
+    first)``.  Sub-blocks are contiguous slices of ONE dst-sorted table, so
+    per-block (vid, seglen) partials concatenate already sorted with at
+    most one shared vid at each cut; a final unique+sum combines the cut
+    partials.  ``deg`` is the per-vid row count (the undirected degree on
+    a deduped symmetrized table); min-label consumers ignore it."""
+    vparts, cparts = [], []
+    for b in blocks:
+        if b.num_columns == 0 or len(b) == 0:
+            continue
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        vparts.append(d[starts])
+        cparts.append(np.diff(np.append(starts, len(d))))
+    if not vparts:
+        return (np.empty(0, np.int64), np.empty(0, np.int64)), (0, 0)
+    v = np.concatenate(vparts)
+    c = np.concatenate(cparts)
+    change = np.empty(len(v), dtype=bool)
+    change[0] = True
+    np.not_equal(v[1:], v[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    vids = v[starts]
+    deg = np.add.reduceat(c, starts)
+    return (vids, deg), (int(len(vids)), int(vids[0]))
 
-    Local vertex set = unique dst (blocks are dst-disjoint); rows are
-    re-read as dst→src pushes (the symmetrized table carries both
-    directions), deduped block-locally (= globally, dst-disjoint) and
-    re-sorted once by the push target so each emit is one ``reduceat``.
-    ``presorted=True`` skips the lexsort + dedup — valid when the exchange
-    already ran with ``dedup_sort_src=True`` (the rows arrive globally
-    deduped in (dst, src) order).
-    Returns ``(vids, tgt_unique, tgt_starts, i_local)`` and ``(n, first)``.
-    """
-    empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int32),
-    )
+
+@ray.remote(num_cpus=1)
+def sub_emit_prep(block, gv, presorted: bool = True):
+    """One sub-block → static emit index into its GROUP's vids.
+
+    Rows are re-read as dst→src pushes (the symmetrized table carries both
+    directions) and re-sorted once by the push target so each emit is one
+    ``reduceat``.  ``i_local`` holds positions into the group vids
+    (``gv[0]``), so every sub-block of a group gathers from the same state
+    vector.  ``presorted=False`` additionally lexsorts + dedups the rows
+    block-locally (cut-straddling duplicates are harmless for min).
+    Returns ``(tgt_unique, tgt_starts, i_local)``; sub-block rows are
+    bounded by the exchange's ``max_block_rows``, so int32 row indexes are
+    always valid."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int32))
     if block.num_columns == 0 or len(block) == 0:
-        return empty, (0, 0)
+        return empty
+    vids = gv[0]
     s = block["src"].to_numpy(zero_copy_only=False)
     d = block["dst"].to_numpy(zero_copy_only=False)
     if not presorted:
@@ -423,28 +512,15 @@ def sharded_prep(block, presorted: bool = False):
         keep[0] = True
         keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
         s, d = s[keep], d[keep]
-    if len(d) > np.iinfo(np.int32).max:
-        # one dst-range block holds every copy of its dst values, so a
-        # pathological hub (> 2^31 incident rows) would overflow the int32
-        # positional index — fail loudly; the fix at that scale is
-        # sub-splitting hot dst runs (see the HUB SKEW note in bsp.py)
-        raise ValueError(f"range block of {len(d)} rows exceeds int32 index")
-    change = np.empty(len(d), dtype=bool)
-    change[0] = True
-    np.not_equal(d[1:], d[:-1], out=change[1:])
-    vids = d[np.flatnonzero(change)]
-    i_local = (np.cumsum(change) - 1).astype(np.int32)
+    i_local = np.searchsorted(vids, d).astype(np.int32)
     order2 = np.argsort(s, kind="stable")
     tgt = s[order2]
     i_local = i_local[order2]
     tchange = np.empty(len(tgt), dtype=bool)
     tchange[0] = True
     np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
-    tgt_starts = np.flatnonzero(tchange).astype(np.int32)  # block rows < 2^31
-    return (vids, tgt[tgt_starts], tgt_starts, i_local), (
-        int(len(vids)),
-        int(vids[0]),
-    )
+    tgt_starts = np.flatnonzero(tchange).astype(np.int32)
+    return (tgt[tgt_starts], tgt_starts, i_local)
 
 
 def _owner_split(sorted_vals: np.ndarray, payload, firsts: np.ndarray) -> list:
@@ -458,10 +534,10 @@ def _owner_split(sorted_vals: np.ndarray, payload, firsts: np.ndarray) -> list:
 
 
 @ray.remote(num_cpus=1)
-def sharded_min_emit(prep, labels: np.ndarray, firsts: np.ndarray):
-    """Push each local vertex's label along its rows; per-target min;
-    split by owner (call with ``num_returns=K``)."""
-    vids, tgt_unique, tgt_starts, i_local = prep
+def sharded_min_emit(sub, labels: np.ndarray, firsts: np.ndarray):
+    """Push the group's labels along one sub-block's rows; per-target min;
+    split by owner group (call with ``num_returns=K``)."""
+    tgt_unique, tgt_starts, i_local = sub
     k = len(firsts)
     if len(tgt_unique) == 0:
         return [(np.empty(0, np.int64), np.empty(0, np.int64))] * k
@@ -470,35 +546,36 @@ def sharded_min_emit(prep, labels: np.ndarray, firsts: np.ndarray):
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def sharded_min_apply(prep, labels: np.ndarray, *chunks):
-    """Take the min of received candidates into the local label shard."""
-    vids = prep[0]
+def sharded_min_apply(gv, labels: np.ndarray, *chunks):
+    """Take the min of received candidates into the group's label shard.
+    Chunks from different sub-blocks may repeat a target (a sub-split hub);
+    the sequential per-chunk min makes the combine exact regardless."""
+    vids = gv[0]
     new = labels.copy()
     for ch in chunks:
         pairs = ch if isinstance(ch, list) else [ch]
         for tgt_c, cand_c in pairs:
             if len(tgt_c):
                 pos = np.searchsorted(vids, tgt_c)
-                # chunk targets are unique → plain indexed assignment
+                # chunk targets are unique within a chunk → indexed minimum
                 new[pos] = np.minimum(new[pos], cand_c)
     return new, int((new < labels).sum())
 
 
 @ray.remote(num_cpus=1)
-def sharded_jump_request(prep, labels: np.ndarray, firsts: np.ndarray):
+def sharded_jump_request(labels: np.ndarray, firsts: np.ndarray):
     """Unique label values this shard points at, split by owner, plus the
     local inverse map (returned LAST — call with ``num_returns=K+1``)."""
     uniq, inv = np.unique(labels, return_inverse=True)
-    k = len(firsts)
     outs = _owner_split(uniq, np.empty(0), firsts)
     return [o[0] for o in outs] + [inv.astype(np.int32)]
 
 
 @ray.remote(num_cpus=1)
-def sharded_jump_reply(prep, labels: np.ndarray, *request_chunks):
+def sharded_jump_reply(gv, labels: np.ndarray, *request_chunks):
     """labels[ℓ] for each requested local vertex ℓ (call with
     ``num_returns=K``; chunk order preserves the requester's sort)."""
-    vids = prep[0]
+    vids = gv[0]
     outs = []
     for reqs in request_chunks:
         reqs = np.asarray(reqs)
@@ -521,18 +598,18 @@ def sharded_jump_update(labels: np.ndarray, inv: np.ndarray, *replies):
 
 
 @ray.remote(num_cpus=1)
-def sharded_labels_table(prep, labels: np.ndarray) -> pa.Table:
-    return pa.table({"vertex": prep[0], "label": labels})
+def sharded_labels_table(gv, labels: np.ndarray) -> pa.Table:
+    return pa.table({"vertex": gv[0], "label": labels})
 
 
 @ray.remote(num_cpus=1)
-def sharded_root_count(prep, labels: np.ndarray) -> int:
-    return int((labels == prep[0]).sum())
+def sharded_root_count(gv, labels: np.ndarray) -> int:
+    return int((labels == gv[0]).sum())
 
 
 @ray.remote(num_cpus=1)
-def init_labels(prep) -> np.ndarray:
-    return prep[0].copy()
+def init_labels(gv) -> np.ndarray:
+    return gv[0].copy()
 
 
 @ray.remote(num_cpus=1)

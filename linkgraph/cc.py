@@ -351,43 +351,53 @@ CC_BROADCAST_MAX_PAIRS = 50_000_000  # same per-node state envelope as PageRank
 
 
 def _sharded_finish(
-    edges_dst: rd.Dataset,
+    groups: list,
     rounds_so_far: int,
     metrics: list[dict[str, Any]],
     max_rounds: int,
     presorted: bool = False,
 ) -> CCResult:
     """Finish CC beyond the driver-broadcast gate: labels sharded in the
-    object store (one shard per dst-sorted block, aligned vertex ranges),
-    min-label supersteps as emit/apply task rounds, and sharded pointer
-    jumping (``linkgraph.bsp`` sharded machinery) instead of the driver
-    compress — nothing per-vertex ever reaches the driver, so the mode has
-    no per-node state envelope.  Dataflow analogue of the reference's
-    owner-computes MPI union-find exchange (``src/mpi/cc_mpi.c:2018-2341``)
-    with the Shiloach-Vishkin shortcut (``src/cc_openmp.c:291-310``)."""
+    object store (ONE state shard per owner GROUP — a key range of the
+    exchange, holding one sub-block normally and several when a hub forced
+    a sub-split), min-label supersteps as emit/apply task rounds, and
+    sharded pointer jumping (``linkgraph.bsp`` sharded machinery) instead
+    of the driver compress — nothing per-vertex ever reaches the driver,
+    so the mode has no per-node state envelope, and no single task touches
+    more than ``max_block_rows`` edge rows however hot a hub is.  Dataflow
+    analogue of the reference's owner-computes MPI union-find exchange
+    (``src/mpi/cc_mpi.c:2018-2341``) with the Shiloach-Vishkin shortcut
+    (``src/cc_openmp.c:291-310``)."""
     import ray
 
     from linkgraph import bsp
 
     t0 = time.perf_counter()
-    sorted_refs = bsp.dataset_block_refs(edges_dst)
-    pairs2 = [bsp.sharded_prep.remote(b, presorted) for b in sorted_refs]
-    metas = ray.get([p[1] for p in pairs2])
+    gvs = [bsp.group_vertices.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gvs])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
-    preps = [pairs2[i][0] for i in keep]
+    gv_refs = [gvs[i][0] for i in keep]
     counts = [metas[i][0] for i in keep]
     firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
     num_v = int(sum(counts))
-    k = len(preps)
+    k = len(gv_refs)
     if k == 0:
         empty = rd.from_arrow(
             pa.table({"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
         )
         return CCResult(empty, 0, rounds_so_far, metrics)
     firsts_ref = ray.put(firsts)
-    labels = [bsp.init_labels.remote(p) for p in preps]
+    # per-sub-block emit indexes, each tagged with its owner group
+    sub_owner: list[int] = []
+    subs: list = []
+    for gi, i in enumerate(keep):
+        for b in groups[i]:
+            sub_owner.append(gi)
+            subs.append(bsp.sub_emit_prep.remote(b, gvs[i][0], presorted))
+    labels = [bsp.init_labels.remote(g) for g in gv_refs]
     metrics.append(
-        {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0, "num_vertices": num_v}
+        {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0,
+         "num_vertices": num_v, "num_groups": k, "num_subblocks": len(subs)}
     )
 
     def jump_until_stable(labels: list) -> tuple[list, int]:
@@ -395,13 +405,13 @@ def _sharded_finish(
         while True:
             reqs = [
                 bsp.sharded_jump_request.options(num_returns=k + 1).remote(
-                    preps[i], labels[i], firsts_ref
+                    labels[i], firsts_ref
                 )
                 for i in range(k)
             ]
             reply_sets = [
                 bsp.sharded_jump_reply.options(num_returns=k).remote(
-                    preps[j], labels[j], *[reqs[i][j] for i in range(k)]
+                    gv_refs[j], labels[j], *[reqs[i][j] for i in range(k)]
                 )
                 for j in range(k)
             ]
@@ -424,15 +434,15 @@ def _sharded_finish(
         t1 = time.perf_counter()
         emits = [
             bsp.sharded_min_emit.options(num_returns=k).remote(
-                preps[i], labels[i], firsts_ref
+                subs[e], labels[sub_owner[e]], firsts_ref
             )
-            for i in range(k)
+            for e in range(len(subs))
         ]
         if k == 1:
             emits = [[e] for e in emits]
         outs = [
             bsp.sharded_min_apply.remote(
-                preps[j], labels[j], *[emits[i][j] for i in range(k)]
+                gv_refs[j], labels[j], *[emits[e][j] for e in range(len(subs))]
             )
             for j in range(k)
         ]
@@ -451,10 +461,10 @@ def _sharded_finish(
         raise RuntimeError(f"CC did not converge within {max_rounds} rounds")
 
     t2 = time.perf_counter()
-    tables = [bsp.sharded_labels_table.remote(preps[j], labels[j]) for j in range(k)]
+    tables = [bsp.sharded_labels_table.remote(gv_refs[j], labels[j]) for j in range(k)]
     labels_ds = rd.from_arrow_refs(tables).materialize()
     num_components = int(
-        sum(ray.get([bsp.sharded_root_count.remote(preps[j], labels[j]) for j in range(k)]))
+        sum(ray.get([bsp.sharded_root_count.remote(gv_refs[j], labels[j]) for j in range(k)]))
     )
     metrics.append({"phase": "labels", "wall_s": time.perf_counter() - t2})
     return CCResult(labels_ds, num_components, rounds, metrics)
@@ -513,7 +523,9 @@ def _broadcast_finish(
         ref = ray.put(lab)
         futs = [bsp.segment_min_task.remote(b, ref) for b in block_refs]
         new = lab.copy()
-        # per-block candidates are globally disjoint (dst-partitioned)
+        # per-block candidates are unique within a block; a sub-split hub
+        # may repeat a dst across adjacent sub-blocks — the sequential
+        # per-block indexed minimum combines those partials exactly
         for pos, c in ray.get(futs):
             new[pos] = np.minimum(new[pos], c)
         changed = int((new < lab).sum())
@@ -723,14 +735,15 @@ def connected_components(
         # materialized intermediate; an explicit contract_batch_size keeps
         # the re-batched Dataset chain.
         if contract_batch_size is None:
-            raw_refs, n_rows, n_vert = bsp.raw_map_dst_exchange(
-                edges, _contract_sym_batch, dedup_sort_src=True
+            groups, n_rows, n_vert = bsp.raw_map_dst_exchange(
+                edges, _contract_sym_batch, dedup_sort_src=True, grouped=True
             )
         else:
             lazy_pairs = contract(G.orient_lo_hi(edges), contract_batch_size)
-            raw_refs, n_rows, n_vert = bsp.raw_dst_exchange(
-                G.symmetrize_block(lazy_pairs), dedup_sort_src=True
+            groups, n_rows, n_vert = bsp.raw_dst_exchange(
+                G.symmetrize_block(lazy_pairs), dedup_sort_src=True, grouped=True
             )
+        raw_refs = [b for g in groups for b in g]
         edges_dst = rd.from_arrow_refs(raw_refs)
         metrics.append(
             {"phase": "contract_sym_sort", "wall_s": time.perf_counter() - t0,
@@ -770,10 +783,10 @@ def connected_components(
         ):
             # checkpointed path: the fused exchange didn't run; pay it now
             t0 = time.perf_counter()
-            refs2, _, n_vert = bsp.raw_dst_exchange(
-                G.symmetrize_block(pairs), dedup_sort_src=True
+            groups, _, n_vert = bsp.raw_dst_exchange(
+                G.symmetrize_block(pairs), dedup_sort_src=True, grouped=True
             )
-            edges_dst = rd.from_arrow_refs(refs2)
+            edges_dst = rd.from_arrow_refs([b for g in groups for b in g])
             metrics.append(
                 {"phase": "sym_sort", "wall_s": time.perf_counter() - t0,
                  "num_vertices": n_vert}
@@ -790,7 +803,7 @@ def connected_components(
                 # driver round-trip (the star rounds remain only for
                 # forced mode="shuffle")
                 res = _sharded_finish(
-                    edges_dst, rounds, metrics, max_rounds, presorted=True
+                    groups, rounds, metrics, max_rounds, presorted=True
                 )
             else:
                 res = _broadcast_finish(

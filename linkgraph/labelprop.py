@@ -119,11 +119,11 @@ def label_propagation(
             return res
         if res is not None:
             # beyond the broadcast gate: reuse the already-paid exchange
-            # (res = its sorted block refs) for the sharded supersteps; an
-            # explicit vertex set attaches isolated vertices afterwards
-            # with one vertex-keyed shuffle (identity labels), same as CC
+            # (res = its owner groups of sorted block refs) for the sharded
+            # supersteps; an explicit vertex set attaches isolated vertices
+            # afterwards with one vertex-keyed shuffle (identity labels)
             out = _labelprop_sharded(
-                edges, max_iters, sorted_refs=res,
+                edges, max_iters, groups=res,
                 checkpointer=checkpointer, resume=resume,
             )
             if vertices is not None:
@@ -248,12 +248,12 @@ def _label_state_ds(ids: np.ndarray, labels: np.ndarray, changed: np.ndarray) ->
 
 
 @ray.remote(num_cpus=1)
-def _sharded_state_table(prep, labels: np.ndarray) -> pa.Table:
+def _sharded_state_table(gv, labels: np.ndarray) -> pa.Table:
     """(vertex, label, changed=1) checkpoint shard — the conservative
     all-active ``changed`` keeps a frontier-mode dataflow resume correct."""
     return pa.table(
         {
-            "vertex": prep[0],
+            "vertex": gv[0],
             "label": labels,
             "changed": np.ones(len(labels), dtype=np.int8),
         }
@@ -263,17 +263,18 @@ def _sharded_state_table(prep, labels: np.ndarray) -> pa.Table:
 def _labelprop_sharded(
     edges,
     max_iters: int,
-    sorted_refs: list | None = None,
+    groups: list | None = None,
     checkpointer: Checkpointer | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
 ) -> CCResult:
     """Beyond-gate label propagation: labels sharded in the object store
-    (one shard per dst-sorted block, aligned vertex ranges), one
-    emit/apply task round per superstep (``linkgraph.bsp`` sharded
-    machinery) — identical synchronous sweep semantics to broadcast mode
-    (same iteration counts), no per-node state envelope, and nothing
-    per-vertex on the driver.  No pointer jumping: LP reports
+    (one state shard per owner GROUP — a key range of the exchange; hub
+    sub-splits add bounded sub-blocks to a group without replicating any
+    vertex), one emit/apply task round per superstep (``linkgraph.bsp``
+    sharded machinery) — identical synchronous sweep semantics to
+    broadcast mode (same iteration counts), no per-node state envelope,
+    and nothing per-vertex on the driver.  No pointer jumping: LP reports
     iterations-to-convergence of the plain sweep (ref
     ``src/mpi/cc_mpi.c:388-571`` semantics).  Checkpoints are per-shard
     raw-task Parquet writes; resume re-runs the deterministic prep and
@@ -281,22 +282,28 @@ def _labelprop_sharded(
     import ray
 
     t0 = time.perf_counter()
-    if sorted_refs is None:
-        sorted_refs, _, _ = bsp.raw_map_dst_exchange(
-            edges, G.sym_prep_batch, dedup_sort_src=True
+    if groups is None:
+        groups, _, _ = bsp.raw_map_dst_exchange(
+            edges, G.sym_prep_batch, dedup_sort_src=True, grouped=True
         )
-    # both producers (here and _labelprop_broadcast) dedup+sort in the
-    # exchange merge, so the prep skips its lexsort+dedup
-    pairs2 = [bsp.sharded_prep.remote(b, True) for b in sorted_refs]
-    metas = ray.get([p[1] for p in pairs2])
+    gvs = [bsp.group_vertices.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gvs])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
-    preps = [pairs2[i][0] for i in keep]
+    gv_refs = [gvs[i][0] for i in keep]
     firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
     num_v = int(sum(metas[i][0] for i in keep))
-    k = len(preps)
+    k = len(gv_refs)
+    # both producers (here and _labelprop_broadcast) dedup+sort in the
+    # exchange merge, so the sub-preps skip their lexsort+dedup
+    sub_owner: list[int] = []
+    subs: list = []
+    for gi, i in enumerate(keep):
+        for b in groups[i]:
+            sub_owner.append(gi)
+            subs.append(bsp.sub_emit_prep.remote(b, gvs[i][0], True))
     metrics: list[dict[str, Any]] = [
         {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0,
-         "num_vertices": num_v}
+         "num_vertices": num_v, "num_groups": k, "num_subblocks": len(subs)}
     ]
     if k == 0:
         empty = rd.from_arrow(
@@ -307,28 +314,28 @@ def _labelprop_sharded(
     start = 1
     labels = None
     if resume and checkpointer is not None:
-        latest = checkpointer.load_shards(preps, firsts, "label", default=None)
+        latest = checkpointer.load_shards(gv_refs, firsts, "label", default=None)
         if latest is not None:
             last_it, labels, meta = latest
             start = last_it + 1
             metrics.append(meta)
     if labels is None:
-        labels = [bsp.init_labels.remote(p) for p in preps]
+        labels = [bsp.init_labels.remote(g) for g in gv_refs]
 
     iters = 0
     for it in range(start, start + max_iters):
         t1 = time.perf_counter()
         emits = [
             bsp.sharded_min_emit.options(num_returns=k).remote(
-                preps[i], labels[i], firsts_ref
+                subs[e], labels[sub_owner[e]], firsts_ref
             )
-            for i in range(k)
+            for e in range(len(subs))
         ]
         if k == 1:
             emits = [[e] for e in emits]
         outs = [
             bsp.sharded_min_apply.remote(
-                preps[j], labels[j], *[emits[i][j] for i in range(k)]
+                gv_refs[j], labels[j], *[emits[e][j] for e in range(len(subs))]
             )
             for j in range(k)
         ]
@@ -342,7 +349,7 @@ def _labelprop_sharded(
         if checkpointer is not None and (changed == 0 or it % checkpoint_every == 0):
             checkpointer.save_shards(
                 it,
-                [_sharded_state_table.remote(preps[j], labels[j]) for j in range(k)],
+                [_sharded_state_table.remote(gv_refs[j], labels[j]) for j in range(k)],
                 {"iteration": it, "changed": changed, "mode": "sharded",
                  "num_vertices": num_v},
             )
@@ -351,10 +358,10 @@ def _labelprop_sharded(
     else:
         raise RuntimeError(f"label propagation exceeded {max_iters} supersteps")
 
-    tables = [bsp.sharded_labels_table.remote(preps[j], labels[j]) for j in range(k)]
+    tables = [bsp.sharded_labels_table.remote(gv_refs[j], labels[j]) for j in range(k)]
     labels_ds = rd.from_arrow_refs(tables).materialize()
     n_comp = int(
-        sum(ray.get([bsp.sharded_root_count.remote(preps[j], labels[j]) for j in range(k)]))
+        sum(ray.get([bsp.sharded_root_count.remote(gv_refs[j], labels[j]) for j in range(k)]))
     )
     return CCResult(labels_ds, n_comp, iters, metrics)
 
@@ -378,11 +385,12 @@ def _labelprop_broadcast(
     # re-sort), and the merge's unique-dst count is the exact vertex count
     # — the beyond-gate bail-out costs no id fetch (explicit vertices can
     # only grow the set).
-    sorted_refs, _n_rows, n_vert = bsp.raw_map_dst_exchange(
-        edges, G.sym_prep_batch, dedup_sort_src=True
+    groups, _n_rows, n_vert = bsp.raw_map_dst_exchange(
+        edges, G.sym_prep_batch, dedup_sort_src=True, grouped=True
     )
     if n_vert > BROADCAST_MAX_VERTICES and not strict:
-        return sorted_refs
+        return groups
+    sorted_refs = [b for g in groups for b in g]
     extra = (
         [
             b["vertex"].to_numpy(zero_copy_only=False)
@@ -396,7 +404,7 @@ def _labelprop_broadcast(
     ids = bsp.vertex_ids(sorted_refs, extra)
     num_v = len(ids)
     if num_v > BROADCAST_MAX_VERTICES and not strict:
-        return sorted_refs
+        return groups
 
     labels = ids.copy()
     metrics: list[dict[str, Any]] = []
@@ -430,8 +438,9 @@ def _labelprop_broadcast(
         ref = ray.put(labels)
         futs = [bsp.segment_min_task.remote(b, ref) for b in block_refs]
         new_labels = labels.copy()
-        # per-block candidates are globally disjoint (dst-partitioned), so
-        # plain vectorized minimum beats np.minimum.at (~10x slower)
+        # per-block candidates are unique within a block (plain vectorized
+        # minimum beats np.minimum.at ~10x); a sub-split hub may repeat a
+        # dst across sub-blocks — the sequential per-block min is exact
         for pos, c in ray.get(futs):
             new_labels[pos] = np.minimum(new_labels[pos], c)
         changed_mask = new_labels < labels

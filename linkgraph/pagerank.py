@@ -102,72 +102,61 @@ def _deg_dst_task(block):
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def _bsp_shuffle_prep(block):
-    """One dst-sorted deduped symmetrized block → static BSP arrays.
+def _pr_group_prep(*blocks):
+    """One owner GROUP (the dst-sorted sub-blocks of one key range) →
+    per-group state arrays ``(vids, inv_out, dangling_idx)`` + ``(n,
+    first)`` metadata.
 
     Undirected reuse: every (src, dst) row is re-read as the directed edge
-    dst→src — valid because the symmetrized table carries both directions,
-    so the dst-sorted table IS a src-sorted table under column swap and the
-    broadcast probe's exchange is reused with no extra shuffle.  The block's
-    vertex set = its unique dst values (disjoint across blocks, sorted);
-    its out-degrees = the dst segment lengths.  Rows are re-sorted once by
-    contribution target (the src column) so each iteration's emit is a
-    single gather + ``add.reduceat``.
-
-    Returns ``(vids, inv_out, tgt_unique, tgt_starts, i_local)`` and a
-    small ``(n_vertices, first_vid)`` metadata tuple.
-    """
-    empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.float64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int32),
-    )
-    if block.num_columns == 0 or len(block) == 0:
-        return empty, (0, 0)
-    s = block["src"].to_numpy(zero_copy_only=False)
-    d = block["dst"].to_numpy(zero_copy_only=False)
-    if len(d) > np.iinfo(np.int32).max:
-        # one dst-range block holds every copy of its dst values, so a
-        # pathological hub (> 2^31 incident rows) would overflow the int32
-        # positional index — fail loudly; the fix at that scale is
-        # sub-splitting hot dst runs (see the HUB SKEW note in bsp.py)
-        raise ValueError(f"range block of {len(d)} rows exceeds int32 index")
-    change = np.empty(len(d), dtype=bool)
+    dst→src — valid because the symmetrized table carries both directions.
+    The group's vertex set = its unique dst values; its out-degrees = the
+    dst segment lengths SUMMED across sub-blocks (a hub's run may span
+    several sub-blocks after the exchange's sub-split).  Post-symmetrize
+    every vertex has degree ≥ 1, so ``dangling_idx`` is empty."""
+    vparts, cparts = [], []
+    for b in blocks:
+        if b.num_columns == 0 or len(b) == 0:
+            continue
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        vparts.append(d[starts])
+        cparts.append(np.diff(np.append(starts, len(d))))
+    if not vparts:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.int64),
+        ), (0, 0)
+    v = np.concatenate(vparts)
+    c = np.concatenate(cparts)
+    change = np.empty(len(v), dtype=bool)
     change[0] = True
-    np.not_equal(d[1:], d[:-1], out=change[1:])
+    np.not_equal(v[1:], v[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    vids = d[starts]
-    counts = np.diff(np.append(starts, len(d)))
-    inv_out = 1.0 / counts
-    i_local = (np.cumsum(change) - 1).astype(np.int32)
-    order = np.argsort(s, kind="stable")
-    tgt = s[order]
-    i_local = i_local[order]
-    tchange = np.empty(len(tgt), dtype=bool)
-    tchange[0] = True
-    np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
-    tgt_starts = np.flatnonzero(tchange).astype(np.int32)  # block rows < 2^31
-    return (vids, inv_out, tgt[tgt_starts], tgt_starts, i_local), (
+    vids = v[starts]
+    deg = np.add.reduceat(c, starts)
+    return (vids, 1.0 / deg, np.empty(0, np.int64)), (
         int(len(vids)),
         int(vids[0]),
     )
 
 
 @ray.remote(num_cpus=1)
-def _bsp_shuffle_emit(prep, rank_vec, firsts):
-    """One superstep emit for one block: gather the local per-vertex
+def _bsp_shuffle_emit(sub, gprep, rank_vec, firsts):
+    """One superstep emit for one SUB-BLOCK: gather the group's per-vertex
     ``rank × 1/outdeg`` through the row index, segment-sum per contribution
-    target, and split the (target, partial) arrays by owner block (targets
+    target, and split the (target, partial) arrays by owner group (targets
     are sorted, owners are ranges — a single ``searchsorted``).  Called with
     ``num_returns=K`` so each owner fetches only its slice."""
-    vids, inv_out, tgt_unique, tgt_starts, i_local = prep
+    tgt_unique, tgt_starts, i_local = sub
     k = len(firsts)
     if len(tgt_unique) == 0:
         outs = [(np.empty(0, np.int64), np.empty(0, np.float64))] * k
         return outs if k > 1 else outs
-    c = (rank_vec * inv_out)[i_local]
+    c = (rank_vec * gprep[1])[i_local]
     partial = np.add.reduceat(c, tgt_starts)
     cuts = np.searchsorted(tgt_unique, firsts[1:])
     bounds = np.concatenate([[0], cuts, [len(tgt_unique)]])
@@ -179,13 +168,15 @@ def _bsp_shuffle_emit(prep, rank_vec, firsts):
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def _bsp_shuffle_apply(prep, rank_vec, teleport, damping, *chunks):
-    """One superstep apply for one owner block: sum the received partials
+def _bsp_shuffle_apply(gprep, rank_vec, teleport, damping, *chunks):
+    """One superstep apply for one owner group: sum the received partials
     into the local dense contribution vector (chunk targets are unique
-    within a chunk → plain indexed add per chunk), then the PageRank
-    update.  Returns the new rank vector (stays in the object store; the
-    ref chains into the next iteration's emit) and the local L1 delta."""
-    vids = prep[0]
+    within a chunk → plain indexed add per chunk; chunks from two
+    sub-blocks of a split hub may repeat a target — the sequential
+    per-chunk add combines them exactly), then the PageRank update.
+    Returns the new rank vector (stays in the object store; the ref chains
+    into the next iteration's emit) and the local L1 delta."""
+    vids = gprep[0]
     contrib = np.zeros(len(vids))
     for ch in chunks:
         pairs = ch if isinstance(ch, list) else [ch]
@@ -202,12 +193,12 @@ def _bsp_full_vec(n: int, val: float) -> np.ndarray:
 
 
 @ray.remote(num_cpus=1)
-def _bsp_ranks_table(prep, rank_vec) -> pa.Table:
-    return pa.table({"vertex": prep[0], "rank": rank_vec})
+def _bsp_ranks_table(gprep, rank_vec) -> pa.Table:
+    return pa.table({"vertex": gprep[0], "rank": rank_vec})
 
 
 def _pagerank_bsp_shuffle(
-    parted_refs: list,
+    groups: list,
     damping: float,
     tol: float,
     max_iters: int,
@@ -216,32 +207,42 @@ def _pagerank_bsp_shuffle(
     resume: bool = False,
 ) -> PageRankResult:
     """Scale-path PageRank over the dst-sorted incidence blocks: per-vertex
-    state lives sharded in the object store (one shard per block, aligned
-    with the block's vertex range) and every superstep is one round of
-    emit tasks + one round of apply tasks — the only data moved per
-    iteration is the (target, partial-sum) chunks, and nothing per-vertex
-    ever touches the driver.  This is the ≥ ``BROADCAST_MAX_VERTICES``
-    regime (rank vector too big for one heap); the prior design re-shuffled
-    the full weighted edge table through a bucket join every superstep
-    (~335 s/superstep at 64 M edges vs ~2 s here).  Ref parity: the
-    owner-computes update exchange of the MPI union-find/LP variants
-    (``src/mpi/cc_mpi.c:2091-2206`` — local work immediate, remote updates
-    routed to owners once per round)."""
+    state lives sharded in the object store (one shard per owner GROUP —
+    a key range of the exchange; a hub's sub-split adds bounded sub-blocks
+    to the group without replicating any vertex) and every superstep is
+    one round of emit tasks (one per sub-block) + one round of apply tasks
+    (one per group) — the only data moved per iteration is the (target,
+    partial-sum) chunks, and nothing per-vertex ever touches the driver.
+    This is the ≥ ``BROADCAST_MAX_VERTICES`` regime (rank vector too big
+    for one heap); the prior design re-shuffled the full weighted edge
+    table through a bucket join every superstep (~335 s/superstep at 64 M
+    edges vs ~2 s here).  Ref parity: the owner-computes update exchange
+    of the MPI union-find/LP variants (``src/mpi/cc_mpi.c:2091-2206`` —
+    local work immediate, remote updates routed to owners once per
+    round)."""
     t0 = time.perf_counter()
     metrics: list[dict[str, Any]] = []
-    pairs = [_bsp_shuffle_prep.remote(b) for b in parted_refs]
-    metas = ray.get([p[1] for p in pairs])
+    gps = [_pr_group_prep.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gps])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
-    preps = [pairs[i][0] for i in keep]
+    gpreps = [gps[i][0] for i in keep]
     counts = [metas[i][0] for i in keep]
     firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
     num_v = int(sum(counts))
-    k = len(preps)
+    k = len(gpreps)
     if k == 0:
         empty = rd.from_arrow(
             pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
         )
         return PageRankResult(empty, 0, 0, metrics)
+    from linkgraph import bsp
+
+    sub_owner: list[int] = []
+    subs: list = []
+    for gi, i in enumerate(keep):
+        for b in groups[i]:
+            sub_owner.append(gi)
+            subs.append(bsp.sub_emit_prep.remote(b, gps[i][0], True))
     firsts_ref = ray.put(firsts)
     r0 = 1.0 / num_v
     start = 1
@@ -249,7 +250,7 @@ def _pagerank_bsp_shuffle(
     if resume and checkpointer is not None:
         # state is re-matched by vertex id, so the checkpoint's shard
         # layout (or mode) need not match this run's
-        latest = checkpointer.load_shards(preps, firsts, "rank", default=r0)
+        latest = checkpointer.load_shards(gpreps, firsts, "rank", default=r0)
         if latest is not None:
             last_it, ranks, meta = latest
             start = last_it + 1
@@ -257,7 +258,8 @@ def _pagerank_bsp_shuffle(
     if ranks is None:
         ranks = [_bsp_full_vec.remote(n, r0) for n in counts]
     metrics.append(
-        {"phase": "bsp_prep", "num_vertices": num_v, "wall_s": time.perf_counter() - t0}
+        {"phase": "bsp_prep", "num_vertices": num_v, "num_groups": k,
+         "num_subblocks": len(subs), "wall_s": time.perf_counter() - t0}
     )
 
     teleport = (1.0 - damping) / num_v  # no dangling mass post-symmetrize
@@ -265,14 +267,17 @@ def _pagerank_bsp_shuffle(
     for it in range(start, start + max_iters):
         t1 = time.perf_counter()
         emits = [
-            _bsp_shuffle_emit.options(num_returns=k).remote(preps[i], ranks[i], firsts_ref)
-            for i in range(k)
+            _bsp_shuffle_emit.options(num_returns=k).remote(
+                subs[e], gpreps[sub_owner[e]], ranks[sub_owner[e]], firsts_ref
+            )
+            for e in range(len(subs))
         ]
         if k == 1:
             emits = [[e] for e in emits]
         outs = [
             _bsp_shuffle_apply.remote(
-                preps[j], ranks[j], teleport, damping, *[emits[i][j] for i in range(k)]
+                gpreps[j], ranks[j], teleport, damping,
+                *[emits[e][j] for e in range(len(subs))]
             )
             for j in range(k)
         ]
@@ -287,7 +292,7 @@ def _pagerank_bsp_shuffle(
         if checkpointer is not None and (converged or it % checkpoint_every == 0):
             checkpointer.save_shards(
                 it,
-                [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)],
+                [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)],
                 {"iteration": it, "l1_delta": delta, "dangling_mass": 0.0,
                  "num_vertices": num_v, "mode": "shuffle"},
             )
@@ -297,7 +302,7 @@ def _pagerank_bsp_shuffle(
         if tol > 0:
             raise RuntimeError(f"pagerank exceeded {max_iters} iterations")
 
-    tables = [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)]
+    tables = [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)]
     ranks_ds = rd.from_arrow_refs(tables).materialize()
     return PageRankResult(ranks_ds, num_v, iters, metrics)
 
@@ -332,70 +337,84 @@ def _dir_sym_batch(t: pa.Table) -> pa.Table:
     )
 
 
-@ray.remote(num_cpus=1, num_returns=3)
-def _bsp_dir_prep(block):
-    """One dst-sorted (dst, src, f)-deduped directed block → the SAME
-    5-tuple the undirected emit/apply tasks consume, plus the local
-    dangling positions.
+@ray.remote(num_cpus=1, num_returns=2)
+def _pr_dir_group_prep(*blocks):
+    """One owner GROUP of dst-sorted (dst, src, f)-deduped directed
+    sub-blocks → ``(vids, inv_out, dangling_idx)`` + ``(n, first)``.
 
     Out-edges of a local vertex u are its ``f==0`` rows (rev rows land in
-    u's owner block), so out-degrees and the emission index need no extra
-    exchange; dangling vertices (out-degree 0) are exactly the vids with no
-    ``f==0`` row.  Returns ``(prep5, dangling_idx, (n, first))``."""
-    empty5 = (
-        np.empty(0, np.int64),
-        np.empty(0, np.float64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int32),
-    )
-    if block.num_columns == 0 or len(block) == 0:
-        return empty5, np.empty(0, np.int64), (0, 0)
-    s = block["src"].to_numpy(zero_copy_only=False)
-    d = block["dst"].to_numpy(zero_copy_only=False)
-    f = block["f"].to_numpy(zero_copy_only=False)
-    if len(d) > np.iinfo(np.int32).max:
-        # one dst-range block holds every copy of its dst values, so a
-        # pathological hub (> 2^31 incident rows) would overflow the int32
-        # positional index — fail loudly; the fix at that scale is
-        # sub-splitting hot dst runs (see the HUB SKEW note in bsp.py)
-        raise ValueError(f"range block of {len(d)} rows exceeds int32 index")
-    change = np.empty(len(d), dtype=bool)
+    u's owner group), so out-degrees need no extra exchange; a hub's rows
+    may span several sub-blocks, so per-sub-block (vid, out-count)
+    partials are summed per vid here.  Dangling vertices (out-degree 0)
+    are exactly the vids with no ``f==0`` row anywhere in the group."""
+    vparts, cparts = [], []
+    for b in blocks:
+        if b.num_columns == 0 or len(b) == 0:
+            continue
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        f = b["f"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        seg = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        vparts.append(d[starts])
+        cparts.append(np.bincount(seg[f == 0], minlength=len(starts)))
+    if not vparts:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.int64),
+        ), (0, 0)
+    v = np.concatenate(vparts)
+    c = np.concatenate(cparts)
+    change = np.empty(len(v), dtype=bool)
     change[0] = True
-    np.not_equal(d[1:], d[:-1], out=change[1:])
-    vids = d[change]
-    seg = (np.cumsum(change) - 1).astype(np.int32)
-    out_mask = f == 0
-    outdeg = np.bincount(seg[out_mask], minlength=len(vids)).astype(np.float64)
+    np.not_equal(v[1:], v[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    vids = v[starts]
+    outdeg = np.add.reduceat(c, starts).astype(np.float64)
     dangling_idx = np.flatnonzero(outdeg == 0)
     inv_out = np.zeros(len(vids))
     nz = outdeg > 0
     inv_out[nz] = 1.0 / outdeg[nz]
-    # emission rows: one per out-edge, target = the src column of the rev row
+    return (vids, inv_out, dangling_idx), (int(len(vids)), int(vids[0]))
+
+
+@ray.remote(num_cpus=1)
+def _dir_sub_prep(block, gprep):
+    """One directed sub-block → emission index into its group's vids:
+    one row per out-edge (``f==0``), target = the src column of the rev
+    row, ``i_local`` = the owning vertex's position in the group vids."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int32))
+    if block.num_columns == 0 or len(block) == 0:
+        return empty
+    vids = gprep[0]
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    f = block["f"].to_numpy(zero_copy_only=False)
+    out_mask = f == 0
     tgt = s[out_mask]
-    i_local = seg[out_mask]
+    if len(tgt) == 0:
+        return empty
+    i_local = np.searchsorted(vids, d[out_mask]).astype(np.int32)
     order = np.argsort(tgt, kind="stable")
     tgt = tgt[order]
     i_local = i_local[order]
-    if len(tgt) == 0:
-        prep5 = (vids, inv_out, np.empty(0, np.int64), np.empty(0, np.int64),
-                 np.empty(0, np.int32))
-        return prep5, dangling_idx, (int(len(vids)), int(vids[0]))
     tchange = np.empty(len(tgt), dtype=bool)
     tchange[0] = True
     np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
     tgt_starts = np.flatnonzero(tchange).astype(np.int32)
-    prep5 = (vids, inv_out, tgt[tgt_starts], tgt_starts, i_local)
-    return prep5, dangling_idx, (int(len(vids)), int(vids[0]))
+    return (tgt[tgt_starts], tgt_starts, i_local)
 
 
 @ray.remote(num_cpus=1)
-def _dangling_sum(dangling_idx: np.ndarray, rank_vec: np.ndarray) -> float:
-    return float(rank_vec[dangling_idx].sum())
+def _dangling_sum(gprep, rank_vec: np.ndarray) -> float:
+    return float(rank_vec[gprep[2]].sum())
 
 
 def _pagerank_bsp_directed(
-    parted_refs: list,
+    groups: list,
     damping: float,
     tol: float,
     max_iters: int,
@@ -404,33 +423,39 @@ def _pagerank_bsp_directed(
     resume: bool = False,
 ) -> PageRankResult:
     """Directed PageRank over object-store-sharded state — the same
-    emit/apply machinery as the undirected BSP path (the prep emits the
-    identical 5-tuple), plus one cheap scalar round per superstep that sums
-    the dangling ranks (``r' = (1-d)/V + d·(contrib + dm/V)``, exactly the
-    oracle's update).  Replaces the bucket-join dataflow for
-    vertex-implicit directed runs at every size."""
+    emit/apply machinery as the undirected BSP path (one state shard per
+    owner group, one emit task per sub-block), plus one cheap scalar round
+    per superstep that sums the dangling ranks (``r' = (1-d)/V +
+    d·(contrib + dm/V)``, exactly the oracle's update).  Replaces the
+    bucket-join dataflow for vertex-implicit directed runs at every
+    size."""
     t0 = time.perf_counter()
     metrics: list[dict[str, Any]] = []
-    trip = [_bsp_dir_prep.remote(b) for b in parted_refs]
-    metas = ray.get([p[2] for p in trip])
+    gps = [_pr_dir_group_prep.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gps])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
-    preps = [trip[i][0] for i in keep]
-    dangles = [trip[i][1] for i in keep]
+    gpreps = [gps[i][0] for i in keep]
     counts = [metas[i][0] for i in keep]
     firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
     num_v = int(sum(counts))
-    k = len(preps)
+    k = len(gpreps)
     if k == 0:
         empty = rd.from_arrow(
             pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
         )
         return PageRankResult(empty, 0, 0, metrics)
+    sub_owner: list[int] = []
+    subs: list = []
+    for gi, i in enumerate(keep):
+        for b in groups[i]:
+            sub_owner.append(gi)
+            subs.append(_dir_sub_prep.remote(b, gps[i][0]))
     firsts_ref = ray.put(firsts)
     r0 = 1.0 / num_v
     start = 1
     ranks = None
     if resume and checkpointer is not None:
-        latest = checkpointer.load_shards(preps, firsts, "rank", default=r0)
+        latest = checkpointer.load_shards(gpreps, firsts, "rank", default=r0)
         if latest is not None:
             last_it, ranks, meta = latest
             start = last_it + 1
@@ -439,6 +464,7 @@ def _pagerank_bsp_directed(
         ranks = [_bsp_full_vec.remote(n, r0) for n in counts]
     metrics.append(
         {"phase": "bsp_prep", "num_vertices": num_v, "mode": "bsp_directed",
+         "num_groups": k, "num_subblocks": len(subs),
          "wall_s": time.perf_counter() - t0}
     )
 
@@ -446,18 +472,21 @@ def _pagerank_bsp_directed(
     for it in range(start, start + max_iters):
         t1 = time.perf_counter()
         dm = float(
-            sum(ray.get([_dangling_sum.remote(dangles[j], ranks[j]) for j in range(k)]))
+            sum(ray.get([_dangling_sum.remote(gpreps[j], ranks[j]) for j in range(k)]))
         )
         base = (1.0 - damping) / num_v + damping * dm / num_v
         emits = [
-            _bsp_shuffle_emit.options(num_returns=k).remote(preps[i], ranks[i], firsts_ref)
-            for i in range(k)
+            _bsp_shuffle_emit.options(num_returns=k).remote(
+                subs[e], gpreps[sub_owner[e]], ranks[sub_owner[e]], firsts_ref
+            )
+            for e in range(len(subs))
         ]
         if k == 1:
             emits = [[e] for e in emits]
         outs = [
             _bsp_shuffle_apply.remote(
-                preps[j], ranks[j], base, damping, *[emits[i][j] for i in range(k)]
+                gpreps[j], ranks[j], base, damping,
+                *[emits[e][j] for e in range(len(subs))]
             )
             for j in range(k)
         ]
@@ -472,7 +501,7 @@ def _pagerank_bsp_directed(
         if checkpointer is not None and (converged or it % checkpoint_every == 0):
             checkpointer.save_shards(
                 it,
-                [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)],
+                [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)],
                 {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
                  "num_vertices": num_v, "mode": "bsp_directed"},
             )
@@ -482,7 +511,7 @@ def _pagerank_bsp_directed(
         if tol > 0:
             raise RuntimeError(f"pagerank exceeded {max_iters} iterations")
 
-    tables = [_bsp_ranks_table.remote(preps[j], ranks[j]) for j in range(k)]
+    tables = [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)]
     ranks_ds = rd.from_arrow_refs(tables).materialize()
     return PageRankResult(ranks_ds, num_v, iters, metrics)
 
@@ -598,12 +627,14 @@ def pagerank(
         # exchange's own tasks, and dedup_sort_src folds the global dedup +
         # (dst, src) block order into the merge — the per-range owner holds
         # every copy of its dst values, so the merge-local dedup is global
-        parted_refs, _n_rows, n_vert = bsp.raw_map_dst_exchange(
-            edges, G.sym_prep_batch, dedup_sort_src=True
+        groups, _n_rows, n_vert = bsp.raw_map_dst_exchange(
+            edges, G.sym_prep_batch, dedup_sort_src=True, grouped=True
         )
+        parted_refs = [b for g in groups for b in g]
         # raw-task degree extraction over the sorted block refs (no extra
-        # execution): dst-disjoint sorted blocks make the per-block
-        # (vertex, degree) segments exact and globally disjoint.  The
+        # execution): per-block (vertex, degree) segments are exact and
+        # disjoint except at hub sub-split cuts, where the cut vertex's
+        # partial counts are summed in the driver combine below.  The
         # exchange merge already measured the exact vertex count, so the
         # beyond-gate handoff to BSP costs no degree pull at all.
         if mode != "shuffle":
@@ -620,16 +651,25 @@ def pagerank(
                         dparts.append(d_arr)
                 vid = np.concatenate(vparts) if vparts else np.empty(0, np.int64)
                 degv = np.concatenate(dparts) if dparts else np.empty(0, np.int64)
+                if len(vid) > 1:
+                    # combine cut-duplicate partial degrees (sub-split hubs)
+                    change = np.empty(len(vid), dtype=bool)
+                    change[0] = True
+                    np.not_equal(vid[1:], vid[:-1], out=change[1:])
+                    if not change.all():
+                        starts = np.flatnonzero(change)
+                        vid = vid[starts]
+                        degv = np.add.reduceat(degv, starts)
                 return _pagerank_broadcast_indexed(
                     parted_refs, vid, degv, ckpt, damping, tol, max_iters,
                     checkpointer, checkpoint_every, resume,
                 )
         # >gate vertex count (or forced shuffle): BSP over the same
-        # dst-sorted blocks — state sharded in the object store, no
+        # dst-sorted owner groups — state sharded in the object store, no
         # re-shuffle of the edge table per superstep; checkpoints are
         # per-shard raw-task Parquet writes (Checkpointer.save_shards)
         return _pagerank_bsp_shuffle(
-            parted_refs, damping, tol, max_iters,
+            groups, damping, tol, max_iters,
             checkpointer, checkpoint_every, resume,
         )
     if directed and vertices is None and mode in ("auto", "broadcast", "shuffle"):
@@ -637,11 +677,12 @@ def pagerank(
         # a per-superstep dangling-mass scalar round (oracle-identical
         # update); the bucket-join dataflow below remains for explicit
         # vertex sets
-        parted_refs, _n_rows, _n_vert = bsp.raw_map_dst_exchange(
-            edges, _dir_sym_batch, dedup_sort_src=True, schema=_DIR_SCHEMA
+        groups, _n_rows, _n_vert = bsp.raw_map_dst_exchange(
+            edges, _dir_sym_batch, dedup_sort_src=True, schema=_DIR_SCHEMA,
+            grouped=True,
         )
         return _pagerank_bsp_directed(
-            parted_refs, damping, tol, max_iters,
+            groups, damping, tol, max_iters,
             checkpointer, checkpoint_every, resume,
         )
     if fast_undirected:
@@ -987,10 +1028,12 @@ def _pagerank_broadcast_indexed(
         t_put = time.perf_counter()
         futs = [_superstep_task.remote(b, ref) for b in block_refs]
         contrib = np.zeros(num_v)
-        # per-block partials are globally disjoint (dst-keyed blocks) →
-        # exact deterministic combine by direct indexed assignment
+        # per-block partials are unique within a block; a sub-split hub may
+        # repeat a position across adjacent sub-blocks — the sequential
+        # per-block indexed add combines those partials exactly, and the
+        # fixed block order keeps the float sum deterministic
         for i_arr, c_arr in ray.get(futs):
-            contrib[i_arr] = c_arr
+            contrib[i_arr] += c_arr
         t_pull = time.perf_counter()
         r_new = (1.0 - damping) / num_v + damping * contrib
         delta = float(np.abs(r_new - ranks).sum())

@@ -4,33 +4,39 @@ adjacency — no joins, no driver-side vertex state, no degree broadcast.
 The dataflow path (``linkgraph.triangles``) broadcasts the degree vector
 below a 50 M-vertex gate and falls back to two bucketed joins above it;
 both materialize the full wedge set as shuffled rows.  This module closes
-wedges with one round of raw Ray tasks over the same dst-sorted blocks the
-other kernels already build (``bsp.raw_dst_exchange``), so it has no
-per-node state envelope at any vertex count:
+wedges with one round of raw Ray tasks over the same dst-sorted owner
+groups the other kernels already build (``bsp.raw_dst_exchange`` with
+``grouped=True``), so it has no per-node state envelope at any vertex
+count:
 
-1. **prep** — the deduped symmetrized exchange makes blocks dst-disjoint;
-   per-dst segment lengths ARE the undirected degrees (global, no shuffle).
+1. **prep** — the deduped symmetrized exchange makes owner groups
+   dst-disjoint; per-dst segment lengths summed across a group's
+   sub-blocks ARE the undirected degrees (global, no shuffle —
+   ``bsp.group_vertices``).
 2. **degree lookup** — one request/reply task round fetches ``deg[src]``
-   for each block's foreign endpoints from their owner ranges (the BSP
+   for each sub-block's foreign endpoints from their owner groups (the BSP
    analogue of the reference's ghost-label exchange,
    ``src/mpi/cc_mpi.c:950-1049``).
-3. **orient + index** — each block keeps only rows where
+3. **orient + index** — each sub-block keeps only rows where
    ``(deg, id)(dst) < (deg, id)(src)`` (each undirected edge appears in
-   exactly two blocks, once per direction, so exactly one side keeps it —
+   exactly two groups, once per direction, so exactly one side keeps it —
    the edge-once orientation of ``src/cc_sequential.c:416-429`` under the
    degree total order).  Out-adjacency stays range-partitioned by the
    *lower-ranked* endpoint with zero movement, because that endpoint IS the
-   block's dst.  The task also builds a lexsorted membership key array.
-4. **wedge close** — per block, all ordered out-neighbor pairs (x, y) are
-   emitted (vectorized repeat/arange, no Python loop), split by
-   owner-of-x; each owner counts how many received pairs exist in its
-   oriented edge set with one vectorized ``searchsorted`` over the key
-   array.  Total = sum of counts.
+   sub-block's dst.  The task also builds a lexsorted membership key array.
+4. **wedge close** — the oriented rows of a group's sub-blocks re-join
+   into ONE group index (a cut vertex's out-list spans sub-blocks; its
+   cross-cut neighbor pairs exist only in the joined segment), then all
+   ordered out-neighbor pairs (x, y) are emitted (vectorized
+   repeat/arange, no Python loop), split by owner-group-of-x; each owner
+   counts how many received pairs exist in its oriented edge set with one
+   vectorized ``searchsorted`` over the group's key array.
 
 Degree ordering bounds out-degree by O(sqrt E), which keeps the emitted
 wedge set near-linear even on skewed web graphs; ``max_pairs_per_task``
-additionally splits a block's wedge emission into bounded-size tasks so a
-hub-heavy block cannot blow a worker's heap.
+additionally splits a sub-block's wedge emission into bounded-size tasks,
+and the exchange's hub sub-split bounds every prep/index task's row count,
+so a hub-heavy range cannot blow a worker's heap.
 """
 
 from __future__ import annotations
@@ -44,48 +50,23 @@ from linkgraph import bsp
 from linkgraph import graph as G
 
 
-@ray.remote(num_cpus=1, num_returns=2)
-def _tri_prep(block):
-    """One dst-sorted deduped symmetrized block → (s, d, vids, deg) +
-    (n_vertices, first_vid).
-
-    Rows arrive globally deduped and (dst, src)-lexsorted
-    (``raw_dst_exchange(dedup_sort_src=True)``); per-dst segment lengths
-    are exact undirected degrees because blocks own every copy of their
-    dst values."""
-    empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-    )
-    if block.num_columns == 0 or len(block) == 0:
-        return empty, (0, 0)
-    s = block["src"].to_numpy(zero_copy_only=False)
-    d = block["dst"].to_numpy(zero_copy_only=False)
-    change = np.empty(len(d), dtype=bool)
-    change[0] = True
-    np.not_equal(d[1:], d[:-1], out=change[1:])
-    starts = np.flatnonzero(change)
-    vids = d[starts]
-    deg = np.diff(np.append(starts, len(d)))
-    return (s, d, vids, deg), (int(len(vids)), int(vids[0]))
-
-
 @ray.remote(num_cpus=1)
-def _deg_request(prep, firsts: np.ndarray):
-    """Unique foreign endpoints (srcs) split by owner range; the local
-    inverse map rides LAST (call with ``num_returns=K+1``)."""
-    s = prep[0]
+def _deg_request(block, firsts: np.ndarray):
+    """Unique foreign endpoints (srcs) of one sub-block split by owner
+    group; the local inverse map rides LAST (``num_returns=K+1``)."""
+    k = len(firsts)
+    if block.num_columns == 0 or len(block) == 0:
+        return [np.empty(0, np.int64)] * k + [np.empty(0, np.int32)]
+    s = block["src"].to_numpy(zero_copy_only=False)
     uniq, inv = np.unique(s, return_inverse=True)
     outs = bsp._owner_split(uniq, np.empty(0), firsts)
     return [o[0] for o in outs] + [inv.astype(np.int32)]
 
 
 @ray.remote(num_cpus=1)
-def _deg_reply(prep, *request_chunks):
-    """deg[v] for each requested v owned here (``num_returns=K``)."""
-    vids, deg = prep[2], prep[3]
+def _deg_reply(gv, *request_chunks):
+    """deg[v] for each requested v owned by this group (``num_returns=K``)."""
+    vids, deg = gv
     outs = []
     for reqs in request_chunks:
         reqs = np.asarray(reqs)
@@ -96,10 +77,38 @@ def _deg_reply(prep, *request_chunks):
     return outs if len(outs) > 1 else outs[0]
 
 
+@ray.remote(num_cpus=1)
+def _orient_rows(block, gv, inv: np.ndarray, *deg_replies):
+    """Orient one sub-block's rows by the (degree, id) total order:
+    keep only rows where ``(deg, id)(dst) < (deg, id)(src)``.  ``deg(dst)``
+    comes from the group's (vids, deg); ``deg(src)`` from the ghost
+    replies.  Returns the oriented ``(a, b, deg_b)`` arrays (a = the
+    sub-block's dst, ascending — row order is preserved)."""
+    e = np.empty(0, np.int64)
+    if block.num_columns == 0 or len(block) == 0:
+        return e, e, e
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    parts = [np.asarray(r) for r in deg_replies]
+    deg_of_uniq = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    deg_s = deg_of_uniq[inv]
+    deg_d = gv[1][np.searchsorted(gv[0], d)]
+    keep = (deg_d < deg_s) | ((deg_d == deg_s) & (d < s))
+    return d[keep], s[keep], deg_s[keep]
+
+
 @ray.remote(num_cpus=1, num_returns=2)
-def _orient_index(prep, inv: np.ndarray, *deg_replies):
-    """Orient rows by the (degree, id) total order; build the block's
-    out-adjacency (wedge source) and membership index (wedge target).
+def _group_index(*oriented_parts):
+    """One owner group's oriented sub-block rows → its out-adjacency
+    (wedge source) and membership index (wedge target).
+
+    Rebuilding the index at GROUP level is what keeps wedge emission exact
+    under hub sub-splits: a cut vertex's out-list spans two sub-blocks,
+    and its cross-sub-block neighbor pairs exist only in the concatenated
+    segment.  Memory note: this materializes only the group's ORIENTED
+    rows — degree ordering drops a hub's huge in-run (the hub is the
+    higher-ranked endpoint), so the oriented set is the O(sqrt E)-bounded
+    out-adjacency, not the raw range.
 
     Returns ``(index_tuple, n_wedge_pairs)``.  The index tuple holds:
       - ``a2, b2, degb2`` — oriented edges re-lexsorted by
@@ -110,26 +119,23 @@ def _orient_index(prep, inv: np.ndarray, *deg_replies):
         monotone in (a, b) lex order, so one ``searchsorted`` answers
         batched "is (x, y) an oriented edge here?" queries.
     """
-    s, d = prep[0], prep[1]
-    parts = [np.asarray(r) for r in deg_replies]
-    deg_of_uniq = np.concatenate(parts) if parts else np.empty(0, np.int64)
-    if len(s) == 0:
-        e = np.empty(0, np.int64)
+    e = np.empty(0, np.int64)
+    live = [p for p in oriented_parts if len(p[0])]
+    if not live:
         return (e, e, e, e, e, e, e), 0
-    deg_s = deg_of_uniq[inv]
-    # deg[dst] via the block's own (vids, deg); rows are dst-sorted
-    deg_d = prep[3][np.searchsorted(prep[2], d)]
-    keep = (deg_d < deg_s) | ((deg_d == deg_s) & (d < s))
-    a, b, degb = d[keep], s[keep], deg_s[keep]
-    if len(a) == 0:
-        e = np.empty(0, np.int64)
-        return (e, e, e, e, e, e, e), 0
-    # membership index over (a, b) in id-lex order (rows arrive so sorted)
-    uniq_a = np.unique(a)
-    uniq_b = np.unique(b)
-    ra = np.searchsorted(uniq_a, a).astype(np.int64)
-    rb = np.searchsorted(uniq_b, b).astype(np.int64)
-    keys = ra * (len(uniq_b) + 1) + rb  # already sorted
+    a = np.concatenate([p[0] for p in live])
+    b = np.concatenate([p[1] for p in live])
+    degb = np.concatenate([p[2] for p in live])
+    # membership index over (a, b): parts arrive a-ascending and
+    # (a, b)-lexsorted within each part, but a cut vertex's rows may span
+    # parts — one lexsort restores the global (a, b) order
+    order0 = np.lexsort((b, a))
+    a_m, b_m = a[order0], b[order0]
+    uniq_a = np.unique(a_m)
+    uniq_b = np.unique(b_m)
+    ra = np.searchsorted(uniq_a, a_m).astype(np.int64)
+    rb = np.searchsorted(uniq_b, b_m).astype(np.int64)
+    keys = ra * (len(uniq_b) + 1) + rb  # sorted by construction
     # wedge-source order: within each a-segment sort out-list by (deg, id)
     order = np.lexsort((b, degb, a))
     a2, b2, degb2 = a[order], b[order], degb[order]
@@ -144,13 +150,14 @@ def _orient_index(prep, inv: np.ndarray, *deg_replies):
 
 @ray.remote(num_cpus=1)
 def _wedge_emit(index, firsts: np.ndarray, part: int, n_parts: int):
-    """Emit this block's ordered out-neighbor pairs (x, y), x before y in
-    the (degree, id) order, split by owner-of-x (``num_returns=K``).
+    """Emit this sub-block's ordered out-neighbor pairs (x, y), x before y
+    in the (degree, id) order, split by owner-group-of-x
+    (``num_returns=K``).
 
     ``part``/``n_parts`` select a contiguous run of a-segments balanced by
-    pair count, so one hub-heavy block fans out as several bounded tasks.
-    All-vectorized: two ``np.repeat`` and one ``np.arange`` build the pair
-    index stream; no Python loop over rows."""
+    pair count, so one hub-heavy sub-block fans out as several bounded
+    tasks.  All-vectorized: two ``np.repeat`` and one ``np.arange`` build
+    the pair index stream; no Python loop over rows."""
     a2, b2, degb2, offs2, *_ = index
     k = len(firsts)
     empty = [(np.empty(0, np.int64), np.empty(0, np.int64))] * k
@@ -195,10 +202,11 @@ def _wedge_emit(index, firsts: np.ndarray, part: int, n_parts: int):
 
 @ray.remote(num_cpus=1)
 def _wedge_close(index, *query_chunks) -> int:
-    """Count received (x, y) wedge queries that are oriented edges here.
+    """Count received (x, y) wedge queries that are oriented edges in this
+    owner group's index.
 
-    One vectorized membership test: both query ids are ranked into this
-    block's (uniq_a, uniq_b) vocabularies (a miss in either vocabulary is
+    One vectorized membership test: both query ids are ranked into the
+    group's (uniq_a, uniq_b) vocabularies (a miss in either vocabulary is
     a non-edge), then a single ``searchsorted`` over the monotone combined
     key array."""
     _, _, _, _, uniq_a, uniq_b, keys = index
@@ -234,58 +242,75 @@ def triangle_count_bsp(
     from linkgraph.runtime import tune_context
 
     tune_context()
-    sorted_refs, _, _ = bsp.raw_map_dst_exchange(
-        edges, G.sym_prep_batch, dedup_sort_src=True
+    groups, _, _ = bsp.raw_map_dst_exchange(
+        edges, G.sym_prep_batch, dedup_sort_src=True, grouped=True
     )
-    if not sorted_refs:
+    if not groups:
         return 0
-    pairs = [_tri_prep.remote(b) for b in sorted_refs]
-    metas = ray.get([p[1] for p in pairs])
+    gvs = [bsp.group_vertices.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gvs])
     keep = [i for i, (n, _) in enumerate(metas) if n > 0]
-    preps = [pairs[i][0] for i in keep]
+    gv_refs = [gvs[i][0] for i in keep]
     firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
-    k = len(preps)
+    k = len(gv_refs)
     if k == 0:
         return 0
     firsts_ref = ray.put(firsts)
+    sub_owner: list[int] = []
+    sub_blocks: list = []
+    for gi, i in enumerate(keep):
+        for b in groups[i]:
+            sub_owner.append(gi)
+            sub_blocks.append(b)
+    ns = len(sub_blocks)
 
-    # round 1: fetch deg[src] from owner ranges (ghost-degree exchange)
+    # round 1: fetch deg[src] from owner groups (ghost-degree exchange);
+    # one request per sub-block, one reply task per owner group
     reqs = [
-        _deg_request.options(num_returns=k + 1).remote(preps[i], firsts_ref)
-        for i in range(k)
+        _deg_request.options(num_returns=k + 1).remote(sub_blocks[e], firsts_ref)
+        for e in range(ns)
     ]
     replies = [
-        _deg_reply.options(num_returns=k).remote(
-            preps[j], *[reqs[i][j] for i in range(k)]
+        _deg_reply.options(num_returns=ns).remote(
+            gv_refs[j], *[reqs[e][j] for e in range(ns)]
         )
         for j in range(k)
     ]
-    if k == 1:
+    if ns == 1:
         replies = [[r] for r in replies]
 
-    # round 2: orient + per-block adjacency/membership index
-    oi = [
-        _orient_index.remote(
-            preps[i], reqs[i][k], *[replies[j][i] for j in range(k)]
+    # round 2: orient per sub-block, then one adjacency/membership index
+    # per owner group (exact under sub-splits: a cut vertex's out-list is
+    # re-joined before pair emission)
+    oriented = [
+        _orient_rows.remote(
+            sub_blocks[e], gv_refs[sub_owner[e]], reqs[e][k],
+            *[replies[j][e] for j in range(k)]
         )
-        for i in range(k)
+        for e in range(ns)
     ]
-    indexes = [o[0] for o in oi]
-    n_pairs = ray.get([o[1] for o in oi])
+    gi = [
+        _group_index.options(num_returns=2).remote(
+            *[oriented[e] for e in range(ns) if sub_owner[e] == j]
+        )
+        for j in range(k)
+    ]
+    indexes = [g[0] for g in gi]
+    n_pairs = ray.get([g[1] for g in gi])
 
-    # round 3: wedge emit (bounded tasks per block) + owner-side close
+    # round 3: wedge emit (bounded tasks per group) + owner-side close
     emits = []
-    for i in range(k):
-        n_parts = max(1, -(-n_pairs[i] // max_pairs_per_task))
+    for j in range(k):
+        n_parts = max(1, -(-n_pairs[j] // max_pairs_per_task))
         for part in range(n_parts):
             emits.append(
                 _wedge_emit.options(num_returns=k).remote(
-                    indexes[i], firsts_ref, part, n_parts
+                    indexes[j], firsts_ref, part, n_parts
                 )
             )
     if k == 1:
         emits = [[e] for e in emits]
     closes = [
-        _wedge_close.remote(indexes[j], *[e[j] for e in emits]) for j in range(k)
+        _wedge_close.remote(indexes[j], *[em[j] for em in emits]) for j in range(k)
     ]
     return int(sum(ray.get(closes)))
