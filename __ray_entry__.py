@@ -76,13 +76,28 @@ def _labelprop(sf_dir: str):
 
 
 def _pagerank_top100(sf_dir: str):
+    """Top-100 PageRank on the order↔part graph, EXACTLY 4 supersteps with
+    scores rounded to 6 dp — value-checked against an unrolled 4-step SQL
+    oracle (the membership-graph recipe at derived-graph scale); ranking
+    ties at the cut break on vertex id on both sides."""
     from linkgraph.pagerank import pagerank
     from linkgraph.pipelines import edges_from_lineitem
 
     res = pagerank(
-        edges_from_lineitem(sf_dir), directed=False, num_partitions=8, tol=1e-10
+        edges_from_lineitem(sf_dir), directed=False, num_partitions=8,
+        tol=0.0, max_iters=4,
     )
-    return res.ranks.sort(["rank", "vertex"], descending=[True, False]).limit(100)
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"vertex": t["vertex"], "score": pc.round(t["rank"], 6)})
+
+    return (
+        res.ranks.map_batches(fin, batch_format="pyarrow")
+        .sort(["score", "vertex"], descending=[True, False])
+        .limit(100)
+    )
 
 
 def _triangles(sf_dir: str):
@@ -109,14 +124,26 @@ def _triangles_bsp(sf_dir: str):
 
 def _extraction_cc(sf_dir: str):
     """North-rule pipeline on deterministic synthetic pages (no pages table
-    exists in the sf dirs): pages → href extraction → CC label table."""
+    exists in the sf dirs): pages → href extraction → CC → labels joined
+    back to urls as (url, root_url) with root_url = lexicographic-min url
+    of the component.  The planted components are closed-form (page i in
+    component i // 60, url = https://c{c}.example.org/p/{i}), so the result
+    is VALUE-checkable by a pure generate_series DuckDB oracle with no
+    dependence on the engine's internal url→id hash."""
     import ray.data as rd
 
-    from linkgraph import synth
+    from linkgraph import extract, synth
     from linkgraph.pipelines import pages_pipeline
 
     pages, _, _ = synth.make_pages(300, seed=42, num_components=5)
-    return pages_pipeline(rd.from_arrow(pages), num_partitions=8).labels
+    pages_ds = rd.from_arrow(pages)
+    res = pages_pipeline(pages_ds, num_partitions=8)
+    labels = res.labels.to_pandas()  # 300 rows — bounded fixture size
+    umap = extract.url_id_map(pages_ds).to_pandas()
+    df = umap.merge(labels, on="vertex")
+    root = df.groupby("label")["url"].min().rename("root_url")
+    out = df.merge(root, on="label")[["url", "root_url"]]
+    return out.sort_values("url").reset_index(drop=True)
 
 
 def _cc_membership(sf_dir: str):
@@ -134,6 +161,7 @@ def _cc_membership_from_mtx(sf_dir: str):
     ``sources.read_mtx``, re-expressing ``src/mtx_reader.c:78-214``) before
     CC — value-checked against the same recursive-CTE oracle.  MTX ids are
     1-indexed on disk, so vertex ids survive exactly."""
+    import hashlib
     import os
     import tempfile
 
@@ -142,9 +170,9 @@ def _cc_membership_from_mtx(sf_dir: str):
     from linkgraph.sources import read_mtx, write_mtx
 
     df = membership_edges(sf_dir).to_pandas()
-    path = os.path.join(
-        tempfile.gettempdir(), f"linkgraph_membership_{abs(hash(sf_dir))}.mtx"
-    )
+    # blake2b, not hash(): Python string hashing is per-process salted
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    path = os.path.join(tempfile.gettempdir(), f"linkgraph_membership_{tag}.mtx")
     write_mtx(
         path,
         df["src"].to_numpy(),
@@ -245,31 +273,72 @@ def _pagerank_membership_directed_fixed4(sf_dir: str):
     return res.ranks.map_batches(fin, batch_format="pyarrow")
 
 
-def _minhash_dedup(sf_dir: str):
+_DUP_OFFSET = 10_000_000
+
+
+def _planted_docs(sf_dir: str, n: int = 20):
+    """Deterministic planted-duplicate table keyed by the documents table's
+    ids: text(i) = four md5 hex blocks of ``i`` (pairwise-dissimilar by
+    construction — the organic documents table contains NEAR-identical
+    unequal texts, which no verification threshold can separate from exact
+    duplicates), plus exact copies of the first ``n`` ids under offset ids.
+    Duplicate-cluster VALUES are then DuckDB-checkable: clusters == exact-
+    text groups == {i, i+offset} pairs, and the same md5 construction runs
+    verbatim in the oracle SQL (the ``cc_membership`` planted-truth
+    recipe)."""
+    import hashlib
+
     import ray.data as rd
 
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        all_ids = np.concatenate([ids, ids[ids < n] + _DUP_OFFSET])
+        texts = [
+            " ".join(
+                hashlib.md5((str(int(i) % _DUP_OFFSET) + s).encode()).hexdigest()
+                for s in ("", "a", "b", "c")
+            )
+            for i in all_ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(all_ids), "text": pa.array(texts, pa.string())}
+        )
+
+    return base.map_batches(mk, batch_format="pyarrow")
+
+
+def _minhash_dedup(sf_dir: str):
+    """MinHash-LSH dedup on the planted-duplicate table at a strict
+    threshold (64/64 signature agreement) — cluster values oracled by the
+    exact-text SQL groups.  The lenient-threshold behavior stays covered by
+    the planted-near-dup pytest suite (tests/test_dedup.py)."""
     from linkgraph import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.minhash_lsh_dedup(docs, num_partitions=8, threshold=0.6)
+    return dedup.minhash_lsh_dedup(
+        _planted_docs(sf_dir), num_partitions=8, threshold=0.999
+    )
 
 
 def _simhash_dedup(sf_dir: str):
-    import ray.data as rd
-
+    """SimHash dedup on the planted-duplicate table at Hamming distance 0 —
+    cluster values oracled by the exact-text SQL groups; lenient distances
+    are pytest-covered."""
     from linkgraph import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.simhash_dedup(docs, hamming_k=3, num_partitions=8)
+    return dedup.simhash_dedup(_planted_docs(sf_dir), hamming_k=0, num_partitions=8)
 
 
 def _ngram_jaccard_dedup(sf_dir: str):
-    import ray.data as rd
-
+    """N-gram-set Jaccard dedup on the planted-duplicate table at
+    threshold 1.0 (exact set equality) — cluster values oracled by the
+    exact-text SQL groups; lenient thresholds are pytest-covered."""
     from linkgraph import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.ngram_jaccard_dedup(docs, threshold=0.6, num_partitions=8)
+    return dedup.ngram_jaccard_dedup(
+        _planted_docs(sf_dir), threshold=1.0, num_partitions=8
+    )
 
 
 def _embedding_neardup(sf_dir: str):
@@ -303,16 +372,53 @@ def _embedding_neardup(sf_dir: str):
     return dedup.embedding_neardup(emb.union(dups), threshold=0.98, num_partitions=8)
 
 
-def _knn_ivf(sf_dir: str):
+def _knn_queries(sf_dir: str):
     import ray.data as rd
 
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(
+        (r for r in emb.filter(lambda r: r["vec_id"] < 4).take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    return emb, np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+
+def _knn_ivf(sf_dir: str):
+    """IVF kNN with an EXHAUSTIVE probe (n_probe = n_clusters): exercises
+    the full k-means + inverted-list machinery while the result equals the
+    exact top-k, so the rows are value-checked by a DuckDB cosine oracle
+    (queries = vec_id 0..3).  The approximate regime (n_probe < n_clusters)
+    is gated by ``knn_ivf_recall`` below."""
     from linkgraph import similarity
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    q = np.asarray(
-        [list(r["embedding"]) for r in emb.take(4)], dtype=np.float64
-    )
-    return similarity.knn_ivf(emb, q, k=10, n_clusters=8, n_probe=3)
+    emb, q = _knn_queries(sf_dir)
+    out = similarity.knn_ivf(emb, q, k=10, n_clusters=8, n_probe=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "cos_sim": pc.round(t["cos_sim"], 6),
+                "rank": t["rank"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _knn_ivf_recall(sf_dir: str):
+    """Recall@10 of the APPROXIMATE IVF path (n_probe=5 of 8) vs exact
+    brute force, per query — deterministic given seeds; the pytest gate
+    asserts mean ≥ 0.85 (tests/test_similarity.py; 1.0 at sf0.01, the
+    driver scale — the near-uniform random embeddings are IVF's hardest
+    case, since true neighbors scatter uniformly across clusters)."""
+    from linkgraph import similarity
+
+    emb, q = _knn_queries(sf_dir)
+    return similarity.knn_ivf_recall(emb, q, k=10, n_clusters=8, n_probe=5)
 
 
 def _quality_scores(sf_dir: str):
@@ -406,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": _ngram_jaccard_dedup,
         "embedding_neardup": _embedding_neardup,
         "knn_ivf": _knn_ivf,
+        "knn_ivf_recall": _knn_ivf_recall,
         "quality_scores": _quality_scores,
         "lang_id": _lang_id,
         "token_stats": _token_stats,
@@ -414,7 +521,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_PR4_LINEITEM = """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
+             CAST(l_partkey + 1000000000 AS BIGINT) AS dst
+      FROM lineitem
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    nv AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+    r1 AS (
+      SELECT t.v AS v,
+             (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * sum(p.r / dg.d) AS r
+      FROM sym s
+      JOIN r0 p ON p.v = s.src JOIN deg dg ON dg.v = s.src JOIN deg t ON t.v = s.dst
+      GROUP BY t.v
+    ),
+    r2 AS (
+      SELECT t.v AS v,
+             (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * sum(p.r / dg.d) AS r
+      FROM sym s
+      JOIN r1 p ON p.v = s.src JOIN deg dg ON dg.v = s.src JOIN deg t ON t.v = s.dst
+      GROUP BY t.v
+    ),
+    r3 AS (
+      SELECT t.v AS v,
+             (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * sum(p.r / dg.d) AS r
+      FROM sym s
+      JOIN r2 p ON p.v = s.src JOIN deg dg ON dg.v = s.src JOIN deg t ON t.v = s.dst
+      GROUP BY t.v
+    ),
+    r4 AS (
+      SELECT t.v AS v,
+             (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * sum(p.r / dg.d) AS r
+      FROM sym s
+      JOIN r3 p ON p.v = s.src JOIN deg dg ON dg.v = s.src JOIN deg t ON t.v = s.dst
+      GROUP BY t.v
+    )
+    SELECT v AS vertex, round(r, 6) AS score FROM r4
+    ORDER BY score DESC, vertex LIMIT 100
+"""
+
+# exact-text duplicate clusters over the planted-duplicate table (same md5
+# text construction as _planted_docs, verbatim) — the SQL ground truth for
+# the strict-threshold near-dup dedup entries
+_PLANTED_TEXT_CLUSTERS = """
+    WITH ids AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id FROM documents WHERE doc_id < 20
+    ),
+    docs AS (
+      SELECT doc_id,
+             md5(CAST(doc_id % 10000000 AS VARCHAR)) || ' ' ||
+             md5(CAST(doc_id % 10000000 AS VARCHAR) || 'a') || ' ' ||
+             md5(CAST(doc_id % 10000000 AS VARCHAR) || 'b') || ' ' ||
+             md5(CAST(doc_id % 10000000 AS VARCHAR) || 'c') AS text
+      FROM ids
+    ),
+    g AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+             count(*) OVER (PARTITION BY text) AS sz
+      FROM docs
+    )
+    SELECT doc_id, cluster_id FROM g WHERE sz >= 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from linkgraph.textstats import _STOPWORDS, BPE_PATTERN
+
+    stoplist = ", ".join(
+        f"'{w}'" for w in sorted(set().union(*_STOPWORDS.values()))
+    )
+    bpe_sql = BPE_PATTERN.replace("'", "''")
     return {
         # Float aggregates use the engine's exact fixed-point contract: the
         # inputs are N-dp decimals (TPC-H DECIMAL semantics), so both sides
@@ -501,6 +683,95 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS n_punct
             FROM documents
         """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '{bpe_sql}')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     regexp_extract_all(lower(text), '[a-z]+') AS words,
+                     len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS np_,
+                     len(regexp_extract_all(text, '[0-9]')) AS nd_,
+                     len(regexp_extract_all(text, '[A-Z]')) AS nu_
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_chars,
+                     len(words) AS n_words,
+                     COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+                         AS letters,
+                     len(list_filter(words, x -> x IN ({stoplist}))) AS stops,
+                     np_, nd_, nu_
+              FROM w
+            ), r AS (
+              SELECT doc_id, n_chars, n_words,
+                     CASE WHEN n_words > 0
+                          THEN CAST(letters AS DOUBLE) / n_words ELSE 0.0
+                     END AS mean_word_len,
+                     CAST(np_ AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                     CAST(nd_ AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+                     CASE WHEN n_words > 0
+                          THEN CAST(stops AS DOUBLE) / n_words ELSE 0.0
+                     END AS stop_ratio,
+                     CAST(nu_ AS DOUBLE) / greatest(n_chars, 1) AS upper_ratio
+              FROM f
+            )
+            SELECT doc_id, n_chars, n_words, mean_word_len, punct_ratio,
+                   digit_ratio, stop_ratio, upper_ratio,
+                   least(n_chars / 500.0, 1.0) * 0.3
+                   + least(stop_ratio * 4, 1.0) * 0.3
+                   + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+                   + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2 AS quality
+            FROM r
+        """,
+        "extraction_cc": """
+            WITH pages AS (
+              SELECT CAST(i AS BIGINT) AS i, CAST(i // 60 AS BIGINT) AS c
+              FROM generate_series(0, 299) t(i)
+            ),
+            urls AS (
+              SELECT 'https://c' || CAST(c AS VARCHAR) || '.example.org/p/'
+                       || CAST(i AS VARCHAR) AS url,
+                     c
+              FROM pages
+            )
+            SELECT url, min(url) OVER (PARTITION BY c) AS root_url FROM urls
+        """,
+        "minhash_dedup": _PLANTED_TEXT_CLUSTERS,
+        "simhash_dedup": _PLANTED_TEXT_CLUSTERS,
+        "ngram_jaccard_dedup": _PLANTED_TEXT_CLUSTERS,
+        "embedding_neardup": """
+            SELECT vec_id AS doc_id, vec_id AS cluster_id
+            FROM embeddings WHERE vec_id < 20
+            UNION ALL
+            SELECT vec_id + 10000000 AS doc_id, vec_id AS cluster_id
+            FROM embeddings WHERE vec_id < 20
+        """,
+        "knn_ivf": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            scored AS (
+              SELECT q.qid AS query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         AS cs
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cs,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, vec_id
+                     ) - 1 AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank
+            FROM ranked WHERE rank < 10
+        """,
+        "pagerank_top100": _PR4_LINEITEM,
         "cc_membership": """
             WITH RECURSIVE e AS (
               SELECT CAST(c_custkey AS BIGINT) AS src,
