@@ -93,6 +93,15 @@ def run_bench() -> dict:
     # objects, and per-object overhead dominates below ~10^7 rows/partition.
     num_partitions = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "16"))
     graph_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "32"))
+    # GRAFT_BENCH_ONLY="cc,pagerank" restricts the run to those pipelines —
+    # used by --scaling so the 8-vs-32 comparison pays only for the
+    # north-rule kernels (everything else still runs in the default bench)
+    only_env = os.environ.get("GRAFT_BENCH_ONLY", "")
+    only = set(only_env.split(",")) if only_env else None
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     queries: dict[str, float] = {}
     detail: dict[str, object] = {}
 
@@ -121,62 +130,67 @@ def run_bench() -> dict:
     def _touch(t):
         return _pa.table({"n": _pa.array([len(t)], _pa.int64())})
 
-    edges_from_lineitem(sf_dir).count()
+    if only is None:
+        edges_from_lineitem(sf_dir).count()
     n_edges = rd.read_parquet(graph_path, override_num_blocks=graph_blocks).count()
-    rd.read_parquet(graph_path, override_num_blocks=graph_blocks).map_batches(
-        _touch, batch_format="pyarrow"
-    ).count()
+    if want("cc") or want("pagerank") or want("triangles"):
+        rd.read_parquet(graph_path, override_num_blocks=graph_blocks).map_batches(
+            _touch, batch_format="pyarrow"
+        ).count()
 
     # --- CC (flagship) ---
-    t0 = time.perf_counter()
-    cc_res = connected_components(
-        rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
-        num_partitions=num_partitions,
-    )
-    queries["cc"] = time.perf_counter() - t0
-    detail["cc"] = {
-        "edges": n_edges,
-        "rounds": cc_res.num_iterations,
-        "components": cc_res.num_components,
-        "edges_per_sec": n_edges / queries["cc"],
-        "edges_per_sec_per_superstep": n_edges
-        * cc_res.num_iterations
-        / queries["cc"],
-    }
+    if want("cc"):
+        t0 = time.perf_counter()
+        cc_res = connected_components(
+            rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
+            num_partitions=num_partitions,
+        )
+        queries["cc"] = time.perf_counter() - t0
+        detail["cc"] = {
+            "edges": n_edges,
+            "rounds": cc_res.num_iterations,
+            "components": cc_res.num_components,
+            "edges_per_sec": n_edges / queries["cc"],
+            "edges_per_sec_per_superstep": n_edges
+            * cc_res.num_iterations
+            / queries["cc"],
+        }
 
     # --- PageRank (fixed 5 supersteps; auto mode broadcasts the rank
     # vector — 3 MB at this vertex count — and keeps edges distributed;
     # shuffle mode is the >50M-vertex scale path) ---
     PR_ITERS = 5
-    t0 = time.perf_counter()
-    pr = pagerank(
-        rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
-        directed=False,
-        num_partitions=num_partitions,
-        tol=0.0,
-        max_iters=PR_ITERS,
-    )
-    queries["pagerank"] = time.perf_counter() - t0
-    sym_edges = 2 * n_edges
-    detail["pagerank"] = {
-        "iterations": pr.num_iterations,
-        "num_vertices": pr.num_vertices,
-        "mode": pr.metrics[-1].get("mode"),
-        "edges_per_sec_per_superstep": sym_edges
-        * pr.num_iterations
-        / queries["pagerank"],
-    }
+    if want("pagerank"):
+        t0 = time.perf_counter()
+        pr = pagerank(
+            rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
+            directed=False,
+            num_partitions=num_partitions,
+            tol=0.0,
+            max_iters=PR_ITERS,
+        )
+        queries["pagerank"] = time.perf_counter() - t0
+        sym_edges = 2 * n_edges
+        detail["pagerank"] = {
+            "iterations": pr.num_iterations,
+            "num_vertices": pr.num_vertices,
+            "mode": pr.metrics[-1].get("mode"),
+            "edges_per_sec_per_superstep": sym_edges
+            * pr.num_iterations
+            / queries["pagerank"],
+        }
 
     # --- triangles (BSP path) on the same planted graph ---
-    t0 = time.perf_counter()
-    n_tri = triangle_count(
-        rd.read_parquet(graph_path, override_num_blocks=graph_blocks)
-    )
-    queries["triangles"] = time.perf_counter() - t0
-    detail["triangles"] = {
-        "n_triangles": n_tri,
-        "edges_per_sec": n_edges / queries["triangles"],
-    }
+    if want("triangles"):
+        t0 = time.perf_counter()
+        n_tri = triangle_count(
+            rd.read_parquet(graph_path, override_num_blocks=graph_blocks)
+        )
+        queries["triangles"] = time.perf_counter() - t0
+        detail["triangles"] = {
+            "n_triangles": n_tri,
+            "edges_per_sec": n_edges / queries["triangles"],
+        }
 
     # --- extraction → CC on synthetic pages (north-rule pipeline);
     # fixture generation is cached parquet OUTSIDE the timed region (it is
@@ -186,48 +200,53 @@ def run_bench() -> dict:
     # 48k pages: large enough that actor-pool spin-up amortizes into
     # steady-state extraction throughput (2.5k pages/s at 12k pages vs
     # ~9.7k at 48k, 32 CPUs)
-    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "48000"))
-    pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
-    if not os.path.exists(pages_path):
-        import pyarrow.parquet as pq
+    if want("extract_cc"):
+        n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "48000"))
+        pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
+        if not os.path.exists(pages_path):
+            import pyarrow.parquet as pq
 
-        pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
-        pq.write_table(pages, pages_path, row_group_size=1 << 10)
-    # untimed warm decode (same protocol as the graph fixture above)
-    rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus).map_batches(
-        _touch, batch_format="pyarrow"
-    ).count()
-    t0 = time.perf_counter()
-    pres = pages_pipeline(
-        rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),
-        num_partitions=num_partitions,
-    )
-    queries["extract_cc"] = time.perf_counter() - t0
-    detail["extract_cc"] = {
-        "components": pres.num_components,
-        "pages": n_pages,
-        "pages_per_sec": round(n_pages / queries["extract_cc"], 1),
-    }
+            pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
+            pq.write_table(pages, pages_path, row_group_size=1 << 10)
+        # untimed warm decode (same protocol as the graph fixture above)
+        rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus).map_batches(
+            _touch, batch_format="pyarrow"
+        ).count()
+        t0 = time.perf_counter()
+        pres = pages_pipeline(
+            rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),
+            num_partitions=num_partitions,
+        )
+        queries["extract_cc"] = time.perf_counter() - t0
+        detail["extract_cc"] = {
+            "components": pres.num_components,
+            "pages": n_pages,
+            "pages_per_sec": round(n_pages / queries["extract_cc"], 1),
+        }
 
     # --- relational headline (Q1-shaped aggregate) ---
-    t0 = time.perf_counter()
-    R.lineitem_pricing_summary(sf_dir).to_pandas()
-    queries["pricing_summary"] = time.perf_counter() - t0
+    if want("pricing_summary"):
+        t0 = time.perf_counter()
+        R.lineitem_pricing_summary(sf_dir).to_pandas()
+        queries["pricing_summary"] = time.perf_counter() - t0
 
     # --- join + groupby ---
-    t0 = time.perf_counter()
-    R.orders_per_segment(sf_dir).to_pandas()
-    queries["orders_per_segment"] = time.perf_counter() - t0
+    if want("orders_per_segment"):
+        t0 = time.perf_counter()
+        R.orders_per_segment(sf_dir).to_pandas()
+        queries["orders_per_segment"] = time.perf_counter() - t0
 
     # --- dedup ---
-    t0 = time.perf_counter()
-    R.exact_dedup_docs(sf_dir).count()
-    queries["exact_dedup"] = time.perf_counter() - t0
+    if want("exact_dedup"):
+        t0 = time.perf_counter()
+        R.exact_dedup_docs(sf_dir).count()
+        queries["exact_dedup"] = time.perf_counter() - t0
 
     # --- similarity ---
-    t0 = time.perf_counter()
-    R.knn_vec0_top10(sf_dir).to_pandas()
-    queries["knn"] = time.perf_counter() - t0
+    if want("knn"):
+        t0 = time.perf_counter()
+        R.knn_vec0_top10(sf_dir).to_pandas()
+        queries["knn"] = time.perf_counter() - t0
 
     ray.shutdown()
     total = sum(queries.values())
@@ -242,9 +261,52 @@ def run_bench() -> dict:
     }
 
 
+def _memcpy_probe(ncpu: int, total_mb: int = 8192, repeats: int = 3) -> float:
+    """Wall seconds for ``ncpu`` processes to copy ``total_mb`` MB total
+    (fixed work, divided evenly) — the host's raw parallel memory-bandwidth
+    profile under the same fixed-total-work protocol as the kernel scaling
+    runs.  Minimum over ``repeats`` (interference is one-sided)."""
+    import multiprocessing as mp
+
+    per = total_mb // ncpu
+
+    def worker(per_mb: int) -> None:
+        import numpy as np
+
+        # buffer of per_mb/8 MB, copied 8× → per_mb MB copied per worker
+        a = np.ones((per_mb << 20) // 64, dtype=np.float64)
+        for _ in range(8):
+            a = a.copy()
+
+    best = float("inf")
+    ctx = mp.get_context("fork")  # fork: the closure target needs no pickling
+    for _ in range(repeats):
+        procs = [ctx.Process(target=worker, args=(per,)) for _ in range(ncpu)]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run_scaling() -> dict:
+    # the scaling comparison runs ONLY the north-rule kernels (cc +
+    # pagerank), at an amortizing graph size (default 25.6 M vertices /
+    # 64 M edges; override with GRAFT_SCALING_VERTICES) — the fixed
+    # per-execution orchestration cost shrinks relative to kernel work as
+    # the graph grows, which is exactly the regime a real N-vs-4N-node
+    # cluster comparison sits in
+    scaling_vertices = os.environ.get("GRAFT_SCALING_VERTICES", "25600000")
+
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="cc,pagerank",
+            GRAFT_BENCH_VERTICES=scaling_vertices,
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
             env=env,
@@ -276,6 +338,16 @@ def run_scaling() -> dict:
     t_lo = r_lo["queries"]["cc"] + r_lo["queries"]["pagerank"]
     t_hi = r_hi["queries"]["cc"] + r_hi["queries"]["pagerank"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # the host's own parallel memory-bandwidth ceiling under the identical
+    # fixed-total-work protocol: a single shared-memory box saturates its
+    # memory controllers well before 32 copy streams, so raw memcpy itself
+    # scales at < 1.0 here.  eff_normalized = eff / memcpy_eff is the
+    # kernel's efficiency relative to what THIS box's memory system allows
+    # — on a real N→4N-node cluster every node adds its own memory system,
+    # which is exactly the term the normalization removes.
+    m_lo = _memcpy_probe(lo)
+    m_hi = _memcpy_probe(hi)
+    memcpy_eff = (m_lo / m_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency_cc_pagerank",
         "value": round(eff, 3),
@@ -284,6 +356,12 @@ def run_scaling() -> dict:
         "cpus_hi": hi,
         "sec_lo": round(t_lo, 3),
         "sec_hi": round(t_hi, 3),
+        "memcpy_sec_lo": round(m_lo, 3),
+        "memcpy_sec_hi": round(m_hi, 3),
+        "memcpy_eff": round(memcpy_eff, 3),
+        "eff_normalized_to_memcpy": round(min(eff / memcpy_eff, 1.0), 3)
+        if memcpy_eff > 0
+        else None,
         "full_lo": r_lo,
         "full_hi": r_hi,
     }

@@ -487,7 +487,7 @@ def group_vertices(*blocks):
 
 
 @ray.remote(num_cpus=1)
-def sub_emit_prep(block, gv, presorted: bool = True):
+def sub_emit_prep(block, gv, presorted: bool = True, whole_group: bool = False):
     """One sub-block → static emit index into its GROUP's vids.
 
     Rows are re-read as dst→src pushes (the symmetrized table carries both
@@ -496,13 +496,15 @@ def sub_emit_prep(block, gv, presorted: bool = True):
     (``gv[0]``), so every sub-block of a group gathers from the same state
     vector.  ``presorted=False`` additionally lexsorts + dedups the rows
     block-locally (cut-straddling duplicates are harmless for min).
-    Returns ``(tgt_unique, tgt_starts, i_local)``; sub-block rows are
-    bounded by the exchange's ``max_block_rows``, so int32 row indexes are
-    always valid."""
+    ``whole_group=True`` (the common, unsplit case) derives ``i_local``
+    from the dst run-length structure (the block's dst set IS the group
+    vids) instead of a row-wise ``searchsorted`` — measured seconds per
+    8 M-row block at scale.  Returns ``(tgt_unique, tgt_starts,
+    i_local)``; sub-block rows are bounded by the exchange's
+    ``max_block_rows``, so int32 row indexes are always valid."""
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int32))
     if block.num_columns == 0 or len(block) == 0:
         return empty
-    vids = gv[0]
     s = block["src"].to_numpy(zero_copy_only=False)
     d = block["dst"].to_numpy(zero_copy_only=False)
     if not presorted:
@@ -512,7 +514,13 @@ def sub_emit_prep(block, gv, presorted: bool = True):
         keep[0] = True
         keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
         s, d = s[keep], d[keep]
-    i_local = np.searchsorted(vids, d).astype(np.int32)
+    if whole_group:
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        i_local = (np.cumsum(change) - 1).astype(np.int32)
+    else:
+        i_local = np.searchsorted(gv[0], d).astype(np.int32)
     order2 = np.argsort(s, kind="stable")
     tgt = s[order2]
     i_local = i_local[order2]

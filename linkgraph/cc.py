@@ -393,7 +393,11 @@ def _sharded_finish(
     for gi, i in enumerate(keep):
         for b in groups[i]:
             sub_owner.append(gi)
-            subs.append(bsp.sub_emit_prep.remote(b, gvs[i][0], presorted))
+            subs.append(
+                bsp.sub_emit_prep.remote(
+                    b, gvs[i][0], presorted, len(groups[i]) == 1
+                )
+            )
     labels = [bsp.init_labels.remote(g) for g in gv_refs]
     metrics.append(
         {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0,
@@ -1042,3 +1046,53 @@ def component_stats(
         Count(alias_name="num_components"),
     )
     return sizes, {k: float(v) for k, v in summary_row.items()}
+
+
+def labels_equivalent(
+    a: rd.Dataset, b: rd.Dataset, num_partitions: int | None = None
+) -> bool:
+    """True iff two ``(vertex, label)`` tables induce the SAME partition of
+    the same vertex set, even when the label VALUES differ — the engine's
+    version of the reference benchmark drivers' "Labels differ but produce
+    same components (VALID)" cross-check
+    (``benchmarks/benchmark_openmp.c:105-135``).
+
+    Fully distributed: one vertex-keyed join plus three distinct counts
+    (the label pairing is a bijection ⟺ #distinct(la) == #distinct(lb) ==
+    #distinct(la, lb)); the label tables never materialize on the driver.
+    """
+    from ray.data.aggregate import Count
+
+    from linkgraph import graph as G
+    from linkgraph.partition import bucket_join
+
+    num_partitions = num_partitions or G.default_partitions()
+    na = a.count()
+    if na != b.count():
+        return False
+    joined = bucket_join(
+        a.map_batches(
+            lambda t: pa.table({"vertex": t["vertex"], "la": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        b.map_batches(
+            lambda t: pa.table({"vertex": t["vertex"], "lb": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        ["vertex"],
+        num_buckets=num_partitions,
+        left_payload={"la": pa.int64()},
+        right_payload={"lb": pa.int64()},
+    ).materialize()
+    if joined.count() != na:
+        return False  # vertex sets differ
+
+    def n_distinct(ds: rd.Dataset, keys: list[str]) -> int:
+        return (
+            ds.groupby(keys, num_partitions=num_partitions)
+            .aggregate(Count(alias_name="_n"))
+            .count()
+        )
+
+    d_pairs = n_distinct(joined, ["la", "lb"])
+    return d_pairs == n_distinct(joined, ["la"]) == n_distinct(joined, ["lb"])

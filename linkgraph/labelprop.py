@@ -300,7 +300,9 @@ def _labelprop_sharded(
     for gi, i in enumerate(keep):
         for b in groups[i]:
             sub_owner.append(gi)
-            subs.append(bsp.sub_emit_prep.remote(b, gvs[i][0], True))
+            subs.append(
+                bsp.sub_emit_prep.remote(b, gvs[i][0], True, len(groups[i]) == 1)
+            )
     metrics: list[dict[str, Any]] = [
         {"phase": "sharded_prep", "wall_s": time.perf_counter() - t0,
          "num_vertices": num_v, "num_groups": k, "num_subblocks": len(subs)}

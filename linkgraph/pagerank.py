@@ -242,7 +242,9 @@ def _pagerank_bsp_shuffle(
     for gi, i in enumerate(keep):
         for b in groups[i]:
             sub_owner.append(gi)
-            subs.append(bsp.sub_emit_prep.remote(b, gps[i][0], True))
+            subs.append(
+                bsp.sub_emit_prep.remote(b, gps[i][0], True, len(groups[i]) == 1)
+            )
     firsts_ref = ray.put(firsts)
     r0 = 1.0 / num_v
     start = 1
@@ -382,10 +384,12 @@ def _pr_dir_group_prep(*blocks):
 
 
 @ray.remote(num_cpus=1)
-def _dir_sub_prep(block, gprep):
+def _dir_sub_prep(block, gprep, whole_group: bool = False):
     """One directed sub-block → emission index into its group's vids:
     one row per out-edge (``f==0``), target = the src column of the rev
-    row, ``i_local`` = the owning vertex's position in the group vids."""
+    row, ``i_local`` = the owning vertex's position in the group vids
+    (run-length derived in the common unsplit case, searchsorted when the
+    group was hub-sub-split)."""
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int32))
     if block.num_columns == 0 or len(block) == 0:
         return empty
@@ -397,7 +401,13 @@ def _dir_sub_prep(block, gprep):
     tgt = s[out_mask]
     if len(tgt) == 0:
         return empty
-    i_local = np.searchsorted(vids, d[out_mask]).astype(np.int32)
+    if whole_group:
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        i_local = (np.cumsum(change) - 1).astype(np.int32)[out_mask]
+    else:
+        i_local = np.searchsorted(vids, d[out_mask]).astype(np.int32)
     order = np.argsort(tgt, kind="stable")
     tgt = tgt[order]
     i_local = i_local[order]
@@ -449,7 +459,7 @@ def _pagerank_bsp_directed(
     for gi, i in enumerate(keep):
         for b in groups[i]:
             sub_owner.append(gi)
-            subs.append(_dir_sub_prep.remote(b, gps[i][0]))
+            subs.append(_dir_sub_prep.remote(b, gps[i][0], len(groups[i]) == 1))
     firsts_ref = ray.put(firsts)
     r0 = 1.0 / num_v
     start = 1

@@ -471,8 +471,10 @@ def knn_vec0_top10(sf_dir: str) -> rd.Dataset:
     def score(t: pa.Table) -> pa.Table:
         import ray as _ray
 
+        from linkgraph.runtime import list_column_to_matrix
+
         qv = _ray.get(ref)
-        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = list_column_to_matrix(t["embedding"], np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat @ qv) / norms

@@ -178,7 +178,11 @@ def read_mtx(path: str, num_blocks: int | None = None) -> tuple[rd.Dataset, dict
     bounds = np.linspace(0, file_size, k + 1).astype(np.int64)
     ranges = pa.table({"start": bounds[:-1], "end": bounds[1:]})
 
+    nnz = max(info["nnz"], 1)
+
     def parse(t: pa.Table) -> pa.Table:
+        import logging
+
         outs = []
         for s, e in zip(t["start"].to_pylist(), t["end"].to_pylist()):
             lines = _range_lines(path, int(s), int(e), file_size)
@@ -191,6 +195,13 @@ def read_mtx(path: str, num_blocks: int | None = None) -> tuple[rd.Dataset, dict
                 _parse_batch(
                     pa.table({"text": lines.filter(keep)}), info["num_vertices"]
                 )
+            )
+            # distributed analogue of the reference's every-N-edges progress
+            # report (``src/mtx_reader.c:185-193``): one line per byte range
+            # as it completes, with its share of the declared edge count
+            logging.getLogger(__name__).info(
+                "read_mtx: range [%d, %d) parsed %d edges (~%.1f%% of file)",
+                s, e, len(outs[-1]), 100.0 * len(outs[-1]) / nnz,
             )
         if not outs:
             return _EMPTY_SRC_DST

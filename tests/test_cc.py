@@ -392,3 +392,27 @@ def test_local_components_matches_union_find(case):
     p = _local_components(src, dst, n)
     want = oracle.cc_labels(src, dst, n)
     assert np.array_equal(p, want)
+
+
+def test_labels_equivalent_crosscheck():
+    """Engine version of the reference drivers' 'labels differ but produce
+    same components (VALID)' check (benchmarks/benchmark_openmp.c:105-135)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.cc import labels_equivalent
+
+    v = np.arange(8, dtype=np.int64)
+    lab = np.array([0, 0, 0, 3, 3, 5, 5, 5], dtype=np.int64)
+    # same partition, shifted label values (e.g. another algorithm's ids)
+    lab2 = np.array([9, 9, 9, 1, 1, 2, 2, 2], dtype=np.int64)
+    # different partition: vertex 4 moved to another component
+    lab3 = np.array([0, 0, 0, 3, 5, 5, 5, 5], dtype=np.int64)
+    mk = lambda l: rd.from_arrow(pa.table({"vertex": v, "label": l}))
+    assert labels_equivalent(mk(lab), mk(lab), num_partitions=2)
+    assert labels_equivalent(mk(lab), mk(lab2), num_partitions=2)
+    assert not labels_equivalent(mk(lab), mk(lab3), num_partitions=2)
+    # different vertex set
+    assert not labels_equivalent(
+        mk(lab), rd.from_arrow(pa.table({"vertex": v[:-1], "label": lab[:-1]}))
+    )
