@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": R.lang_distribution,
         "distinct_users": R.distinct_users,
         "exact_dedup_docs": R.exact_dedup_docs,
+        "events_last_order_asof": R.events_last_order_asof,
         "token_counts": R.token_counts,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
@@ -671,6 +672,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "events_last_order_asof": """
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_ts
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

@@ -231,3 +231,105 @@ def bucket_join(
     # partitions (Ray 2.49); join_group handles mixed buckets per block fine
     parted = both.repartition(nb, keys=[_BUCKET])
     return parted.map_batches(join_group, batch_format="pyarrow", batch_size=None)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int | None = None,
+    left_payload: dict[str, "pa.DataType"] | None = None,
+    right_payload: dict[str, "pa.DataType"] | None = None,
+) -> rd.Dataset:
+    """Inner AS-OF join: for each left row, attach the LATEST right row of
+    the same ``key`` with ``right_ts <= left_ts`` (the classic event ↔
+    dimension-history alignment; DuckDB's ``ASOF JOIN`` semantics).
+
+    Shape: both sides hash-co-partition by ``key`` (the ``bucket_join``
+    widen/union/repartition pattern — ONE shuffle each), then each block
+    runs a C-speed ``pandas.merge_asof`` (sorted by timestamp, ``by`` key)
+    over its keys — no Python row loop, no global sort.  Determinism: ties
+    on ``right_ts`` within a key resolve to the LAST row in (key, ts,
+    payload-column) order, so a right side deduplicated on (key, ts) is
+    fully deterministic.  Rows with no match are dropped (inner).
+    At 100 TB this is one bounded shuffle per side; the right side is
+    typically the small dimension history and could ride the broadcast
+    path instead — kept symmetric here because history tables grow with
+    time, not corpus size.
+    """
+    import pandas as pd
+
+    from linkgraph.graph import default_partitions
+
+    if left_payload is None:
+        ls = left.schema()
+        left_payload = {
+            n: t for n, t in zip(ls.names, ls.types) if n not in (key, left_ts)
+        }
+    if right_payload is None:
+        rs = right.schema()
+        right_payload = {
+            n: t for n, t in zip(rs.names, rs.types) if n not in (key, right_ts)
+        }
+    ts_type = pa.timestamp("us")
+    lcols = [key, left_ts, *left_payload]
+    rcols = [key, right_ts, *right_payload]
+    out_cols = [key, left_ts, *left_payload, right_ts, *right_payload]
+    out_types: dict[str, pa.DataType] = {
+        key: pa.int64(),
+        left_ts: ts_type,
+        right_ts: ts_type,
+        **left_payload,
+        **right_payload,
+    }
+    nb = num_buckets or default_partitions()
+
+    def widen(side: int, missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict = {}
+            for c in out_cols:
+                cols[c] = pa.nulls(n, out_types[c]) if c in missing else t[c]
+            cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            bucket = _key_hash(t, [key], 0xA0761D64) % np.uint64(nb)
+            cols[_BUCKET] = pa.array(bucket.astype(np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    lw = left.map_batches(
+        widen(0, [right_ts, *right_payload]), batch_format="pyarrow"
+    )
+    rw = right.map_batches(
+        widen(1, [left_ts, *left_payload]), batch_format="pyarrow"
+    )
+    both = lw.union(rw)
+    empty_out = pa.table({c: pa.array([], out_types[c]) for c in out_cols})
+
+    def join_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty_out
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        ldf = t.filter(pa.array(side == 0)).select(lcols).to_pandas()
+        rdf = t.filter(pa.array(side == 1)).select(rcols).to_pandas()
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty_out
+        ldf = ldf.sort_values([left_ts, key], kind="stable")
+        rdf = rdf.sort_values(
+            [right_ts, key, *right_payload], kind="stable"
+        )
+        out = pd.merge_asof(
+            ldf, rdf, left_on=left_ts, right_on=right_ts, by=key,
+            direction="backward",
+        )
+        out = out[out[right_ts].notna()]
+        arrays = [
+            pa.Array.from_pandas(out[c], type=out_types[c]) for c in out_cols
+        ]
+        return pa.table(dict(zip(out_cols, arrays)))
+
+    parted = both.repartition(nb, keys=[_BUCKET])
+    return parted.map_batches(join_block, batch_format="pyarrow", batch_size=None)

@@ -490,3 +490,36 @@ def knn_vec0_top10(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
     )
     return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
+
+
+# -- as-of join (event ↔ dimension-history alignment) -------------------------
+
+def events_last_order_asof(sf_dir: str) -> rd.Dataset:
+    """Each event AS-OF-joined to the latest order DATE of the same user at
+    or before the event time (DuckDB ``ASOF JOIN`` semantics; engine path:
+    ``partition.asof_join`` — one key co-partition per side, C-speed
+    ``merge_asof`` per block).  Only the matched date is emitted, so
+    several orders on the same (user, date) collapse to one deterministic
+    answer with no dedup pass."""
+    from linkgraph.partition import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["o_custkey"],
+                "last_order_ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        ev,
+        od,
+        key="user_id",
+        left_ts="ts",
+        right_ts="last_order_ts",
+        left_payload={"event_id": pa.int64()},
+        right_payload={},
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "last_order_ts"])
