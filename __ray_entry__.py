@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": R.distinct_users,
         "exact_dedup_docs": R.exact_dedup_docs,
         "events_last_order_asof": R.events_last_order_asof,
+        "user_sessions": R.user_sessions,
         "token_counts": R.token_counts,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
@@ -677,6 +678,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_ts
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "user_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CAST(round(value * 1000000.0) AS BIGINT) AS value_u,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts, value_u,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(value_u) AS DOUBLE) / 1000000.0 AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

@@ -104,6 +104,32 @@ def _table_of(cols: dict, schema: pa.Schema) -> pa.Table:
     )
 
 
+def _compact_cols(cols: dict) -> dict:
+    """Downcast nonnegative int64 id columns that fit int32 — halves the
+    bytes moved through the exchange's two transfer hops (map output and
+    split chunks).  Conditional per column per block; the merge promotes
+    mixed chunks and always casts its OUTPUT back to the declared schema,
+    so nothing downstream ever sees a compact dtype."""
+    out = {}
+    for n, a in cols.items():
+        if (
+            a.dtype == np.int64
+            and len(a)
+            and int(a.min()) >= 0
+            and int(a.max()) < np.iinfo(np.int32).max
+        ):
+            out[n] = a.astype(np.int32)
+        else:
+            out[n] = a
+    return out
+
+
+def _table_raw(cols: dict) -> pa.Table:
+    """Table with the columns' ACTUAL dtypes (no schema cast) — used on the
+    exchange's internal hops where int32-compacted ids are in flight."""
+    return pa.table({name: pa.array(a) for name, a in cols.items()})
+
+
 @ray.remote(num_cpus=1)
 def _range_split_task(block, bounds: np.ndarray, schema: pa.Schema) -> list:
     k = len(bounds) + 1
@@ -112,12 +138,17 @@ def _range_split_task(block, bounds: np.ndarray, schema: pa.Schema) -> list:
         return [e] * k if k > 1 else [e]
     cols = _cols_of(block, schema)
     order = np.argsort(cols["dst"], kind="stable")
-    cols = {n: a[order] for n, a in cols.items()}
+    cols = _compact_cols({n: a[order] for n, a in cols.items()})
     d = cols["dst"]
-    cuts = np.searchsorted(d, bounds, side="left")
-    bpts = np.concatenate([[0], cuts, [len(d)]])
+    b = np.asarray(bounds)
+    if d.dtype == np.int32 and (len(b) == 0 or b.max() < np.iinfo(np.int32).max):
+        b = b.astype(np.int32)  # avoid numpy upcasting d for the search
+    elif d.dtype == np.int32:
+        d = d.astype(np.int64)  # mixed-range case: a bound exceeds int32
+    cuts = np.searchsorted(d, b, side="left")
+    bpts = np.concatenate([[0], cuts, [len(cols["dst"])]])
     return [
-        _table_of({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()}, schema)
+        _table_raw({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()})
         for i in range(k)
     ]
 
@@ -155,9 +186,13 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
     if not live:
         return schema.empty_table(), 0, 0
     extras = [n for n in schema.names if n not in ("src", "dst")]
+    # chunks may arrive int32-compacted (see _compact_cols), possibly mixed
+    # with int64 chunks from blocks whose ids didn't fit — promote to the
+    # common type before the sort
+    t = pa.concat_tables(live, promote_options="permissive")
     # full-key sort on BOTH paths: determinism then never depends on sort
     # stability or within-run tie order (remaining ties are identical rows)
-    t = _sort_table(pa.concat_tables(live), ["dst", "src", *extras])
+    t = _sort_table(t, ["dst", "src", *extras])
     d = t["dst"].to_numpy(zero_copy_only=False)
     if dedup_sort_src:
         cols = {n: t[n].to_numpy(zero_copy_only=False) for n in schema.names}
@@ -171,9 +206,9 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
         d = cols["dst"]
         out = _table_of(cols, schema)
     else:
-        # non-dedup path only needs dst for the unique count — skip the
-        # full-table numpy materialization in this hot exchange task
-        out = t
+        # non-dedup path only needs dst for the unique count; cast back to
+        # the declared schema so consumers never see a compact dtype
+        out = t.cast(schema) if t.schema != schema else t
     nuniq = 1 + int((d[1:] != d[:-1]).sum())
     return out, int(len(d)), nuniq
 
@@ -285,10 +320,10 @@ def _map_sort_sample_task(block, map_fn, n: int, schema: pa.Schema):
         return schema.empty_table(), np.empty(0, np.int64)
     cols = _cols_of(t, schema)
     order = np.argsort(cols["dst"], kind="stable")
-    cols = {name: a[order] for name, a in cols.items()}
+    cols = _compact_cols({name: a[order] for name, a in cols.items()})
     d = cols["dst"]
     idx = np.linspace(0, len(d) - 1, min(n, len(d))).astype(np.int64)
-    return _table_of(cols, schema), d[idx]
+    return _table_raw(cols), d[idx].astype(np.int64)
 
 
 @ray.remote(num_cpus=1)
@@ -303,10 +338,15 @@ def _split_presorted_task(block, bounds: np.ndarray, schema: pa.Schema) -> list:
         return [e] * k if k > 1 else [e]
     cols = _cols_of(block, schema)
     d = cols["dst"]
-    cuts = np.searchsorted(d, bounds, side="left")
-    bpts = np.concatenate([[0], cuts, [len(d)]])
+    b = np.asarray(bounds)
+    if d.dtype == np.int32 and (len(b) == 0 or b.max() < np.iinfo(np.int32).max):
+        b = b.astype(np.int32)  # avoid numpy upcasting d for the search
+    elif d.dtype == np.int32:
+        d = d.astype(np.int64)  # mixed-range case: a bound exceeds int32
+    cuts = np.searchsorted(d, b, side="left")
+    bpts = np.concatenate([[0], cuts, [len(cols["dst"])]])
     return [
-        _table_of({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()}, schema)
+        _table_raw({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()})
         for i in range(k)
     ]
 

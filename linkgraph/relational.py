@@ -523,3 +523,83 @@ def events_last_order_asof(sf_dir: str) -> rd.Dataset:
         right_payload={},
     )
     return out.select_columns(["event_id", "user_id", "ts", "last_order_ts"])
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Sessionization (streaming-window family): events split into
+    per-user sessions at >``gap_minutes`` inactivity gaps, with per-session
+    start/end/count and an exact fixed-point value sum.
+
+    ONE user-keyed shuffle co-locates each user's events; everything after
+    is a vectorized whole-block pass (lexsort → gap diff → cumsum session
+    ids → ``reduceat`` aggregates) — block-local sessionization IS global
+    because a user's rows never split across blocks.  Ties on ``ts`` break
+    on ``event_id`` in both the engine and the oracle SQL; equal-ts rows
+    always share a session (gap 0), so the tie-break never changes the
+    result, only the proof of determinism."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "event_id": t["event_id"],
+                "value_u": pc.cast(
+                    pc.round(pc.multiply(t["value"], 1000000.0)), pa.int64()
+                ),
+            }
+        )
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "session_id": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "session_end": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        tsi = ts.view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value_u"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsi, u))
+        u, ts, tsi, val = u[order], ts[order], tsi[order], val[order]
+        n = len(u)
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u[1:] != u[:-1]) | ((tsi[1:] - tsi[:-1]) > gap_us)
+        snum = np.cumsum(new_s)  # 1-based global session counter
+        # per-user 1-based session ids: subtract the counter at user start
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = u[1:] != u[:-1]
+        useg = np.cumsum(new_u) - 1
+        base = snum[np.flatnonzero(new_u)]
+        sid = snum - base[useg] + 1
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                "user_id": u[starts],
+                "session_id": sid[starts],
+                "session_start": ts[starts],
+                "session_end": ts[ends],
+                "n_events": np.diff(np.append(starts, n)),
+                "sum_value": np.add.reduceat(val, starts) / 1000000.0,
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .repartition(_np(), keys=["user_id"])
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
