@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": R.exact_dedup_docs,
         "events_last_order_asof": R.events_last_order_asof,
         "user_sessions": R.user_sessions,
+        "lineitems_shipped_30d_range": R.lineitems_shipped_30d_range,
         "token_counts": R.token_counts,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
@@ -678,6 +679,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_ts
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "lineitems_shipped_30d_range": """
+            SELECT l.l_orderkey, l.l_shipdate, l.l_partkey,
+                   o.o_orderdate AS win_lo,
+                   o.o_orderdate + INTERVAL 30 DAY AS win_hi
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
         """,
         "user_sessions": """
             WITH e AS (

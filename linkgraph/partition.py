@@ -333,3 +333,161 @@ def asof_join(
 
     parted = both.repartition(nb, keys=[_BUCKET])
     return parted.map_batches(join_block, batch_format="pyarrow", batch_size=None)
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    num_buckets: int | None = None,
+    left_payload: dict[str, "pa.DataType"] | None = None,
+    right_payload: dict[str, "pa.DataType"] | None = None,
+) -> rd.Dataset:
+    """Inner RANGE (interval) join: emit one row per (left, right) pair of
+    the same ``key`` with ``right_lo <= left_ts < right_hi``.  Overlapping
+    intervals produce multiple rows per left row (plain inequality-join
+    semantics, the DuckDB ``ON a.k=b.k AND a.ts >= b.lo AND a.ts < b.hi``
+    oracle shape).
+
+    Shape: both sides hash-co-partition by ``key`` (ONE shuffle each, the
+    ``bucket_join`` widen/union pattern), then each block computes, for
+    every right interval, the contiguous run of its key's time-sorted left
+    rows via two C-speed ``merge_asof`` rank lookups (strictly-less
+    predecessor of ``lo`` and of ``hi``), and emits the pairs with one
+    ``repeat``/``arange`` — no Python row loop, no quadratic blow-up
+    beyond the actual output size."""
+    import pandas as pd
+
+    from linkgraph.graph import default_partitions
+
+    if left_payload is None:
+        ls = left.schema()
+        left_payload = {
+            n: t for n, t in zip(ls.names, ls.types) if n not in (key, left_ts)
+        }
+    if right_payload is None:
+        rs = right.schema()
+        right_payload = {
+            n: t
+            for n, t in zip(rs.names, rs.types)
+            if n not in (key, right_lo, right_hi)
+        }
+    ts_type = pa.timestamp("us")
+    lcols = [key, left_ts, *left_payload]
+    rcols = [key, right_lo, right_hi, *right_payload]
+    out_cols = [key, left_ts, *left_payload, right_lo, right_hi, *right_payload]
+    out_types: dict[str, pa.DataType] = {
+        key: pa.int64(),
+        left_ts: ts_type,
+        right_lo: ts_type,
+        right_hi: ts_type,
+        **left_payload,
+        **right_payload,
+    }
+    nb = num_buckets or default_partitions()
+
+    def widen(side: int, missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict = {}
+            for c in out_cols:
+                cols[c] = pa.nulls(n, out_types[c]) if c in missing else t[c]
+            cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            bucket = _key_hash(t, [key], 0xA0761D64) % np.uint64(nb)
+            cols[_BUCKET] = pa.array(bucket.astype(np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    lw = left.map_batches(
+        widen(0, [right_lo, right_hi, *right_payload]), batch_format="pyarrow"
+    )
+    rw = right.map_batches(
+        widen(1, [left_ts, *left_payload]), batch_format="pyarrow"
+    )
+    both = lw.union(rw)
+    empty_out = pa.table({c: pa.array([], out_types[c]) for c in out_cols})
+
+    def join_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty_out
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        ldf = (
+            t.filter(pa.array(side == 0))
+            .select(lcols)
+            .to_pandas()
+            .sort_values([key, left_ts], kind="stable")
+            .reset_index(drop=True)
+        )
+        rdf = (
+            t.filter(pa.array(side == 1))
+            .select(rcols)
+            .to_pandas()
+            .sort_values([key, right_lo], kind="stable")
+            .reset_index(drop=True)
+        )
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty_out
+        lk = ldf[key].to_numpy()
+        rk = rdf[key].to_numpy()
+        lrow = ldf.assign(_lgrow=np.arange(len(ldf), dtype=np.int64))
+        seg_start = np.searchsorted(lk, rk, side="left")
+
+        def pred_row(bound_col: str) -> np.ndarray:
+            """Global left-row index of the last row with ts < bound, per
+            right row (−1 when none in that key)."""
+            r = rdf[[key, bound_col]].sort_values(
+                [bound_col, key], kind="stable"
+            )
+            m = pd.merge_asof(
+                r,
+                lrow[[key, left_ts, "_lgrow"]].sort_values(
+                    [left_ts, key], kind="stable"
+                ),
+                left_on=bound_col,
+                right_on=left_ts,
+                by=key,
+                direction="backward",
+                allow_exact_matches=False,
+            )
+            out = np.full(len(rdf), -1, dtype=np.int64)
+            out[r.index.to_numpy()] = (
+                m["_lgrow"].fillna(-1).to_numpy().astype(np.int64)
+            )
+            return out
+
+        a = np.maximum(pred_row(right_lo) + 1, seg_start)
+        b_excl = pred_row(right_hi) + 1
+        # hi is EXCLUSIVE: rows with ts == hi are excluded by the
+        # strict-less predecessor; rows with ts == lo are included via max
+        # with the key segment start above
+        cnt = np.maximum(b_excl - a, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty_out
+        l_idx = (
+            np.arange(total)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(a, cnt)
+        )
+        r_idx = np.repeat(np.arange(len(rdf), dtype=np.int64), cnt)
+        out = pd.concat(
+            [
+                ldf.iloc[l_idx].reset_index(drop=True),
+                rdf.iloc[r_idx][[right_lo, right_hi, *right_payload]].reset_index(
+                    drop=True
+                ),
+            ],
+            axis=1,
+        )
+        arrays = [
+            pa.Array.from_pandas(out[c], type=out_types[c]) for c in out_cols
+        ]
+        return pa.table(dict(zip(out_cols, arrays)))
+
+    parted = both.repartition(nb, keys=[_BUCKET])
+    return parted.map_batches(join_block, batch_format="pyarrow", batch_size=None)

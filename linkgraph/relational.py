@@ -603,3 +603,46 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         .repartition(_np(), keys=["user_id"])
         .map_batches(block, batch_format="pyarrow", batch_size=None)
     )
+
+
+def lineitems_shipped_30d_range(sf_dir: str) -> rd.Dataset:
+    """RANGE (interval) join: line items whose ship date falls within 30
+    days of their order's date — one row per (lineitem, order-window) pair
+    (plain inequality-join semantics).  Engine path:
+    ``partition.range_join`` (key co-partition + per-block double
+    ``merge_asof`` rank lookup + vectorized pair emission)."""
+    from linkgraph.partition import range_join
+
+    month = pa.scalar(30 * 24 * 3600 * 1_000_000, pa.duration("us"))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_shipdate": pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                "l_partkey": t["l_partkey"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "win_lo": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "win_hi": pc.add(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), month
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return range_join(
+        li,
+        od,
+        key="l_orderkey",
+        left_ts="l_shipdate",
+        right_lo="win_lo",
+        right_hi="win_hi",
+        left_payload={"l_partkey": pa.int64()},
+        right_payload={},
+    )

@@ -144,3 +144,76 @@ def test_triangles_modes_on_shapes(shape, mode):
     assert (
         triangle_count(G.from_arrow_edges(t), num_partitions=4, mode=mode) == exp
     ), (shape, mode)
+
+
+def test_asof_join_semantics():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.partition import asof_join
+
+    ts = lambda s: np.datetime64(s, "us")
+    left = pa.table(
+        {
+            "k": np.array([1, 1, 2, 3], dtype=np.int64),
+            "lt": np.array([ts("2025-01-05"), ts("2025-01-01"), ts("2025-01-10"), ts("2025-01-10")]),
+            "eid": np.array([10, 11, 12, 13], dtype=np.int64),
+        }
+    )
+    right = pa.table(
+        {
+            "k": np.array([1, 1, 2], dtype=np.int64),
+            "rt": np.array([ts("2025-01-02"), ts("2025-01-04"), ts("2025-01-10")]),
+            "pay": np.array([100, 200, 300], dtype=np.int64),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left).repartition(3),
+        rd.from_arrow(right).repartition(2),
+        key="k", left_ts="lt", right_ts="rt",
+        left_payload={"eid": pa.int64()}, right_payload={"pay": pa.int64()},
+        num_buckets=4,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    # eid 10: latest rt <= 01-05 is 01-04 (pay 200); eid 11: none (dropped);
+    # eid 12: exact match 01-10 (pay 300); eid 13: key 3 has no right rows
+    assert list(out["eid"]) == [10, 12]
+    assert list(out["pay"]) == [200, 300]
+
+
+def test_range_join_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.partition import range_join
+
+    ts = lambda s: np.datetime64(s, "us")
+    left = pa.table(
+        {
+            "k": np.array([1, 1, 1, 2], dtype=np.int64),
+            "lt": np.array([ts("2025-01-01"), ts("2025-01-03"), ts("2025-01-08"), ts("2025-01-03")]),
+            "eid": np.array([10, 11, 12, 13], dtype=np.int64),
+        }
+    )
+    # overlapping windows for key 1; hi is exclusive
+    right = pa.table(
+        {
+            "k": np.array([1, 1, 2], dtype=np.int64),
+            "lo": np.array([ts("2025-01-01"), ts("2025-01-02"), ts("2025-01-03")]),
+            "hi": np.array([ts("2025-01-03"), ts("2025-01-09"), ts("2025-01-04")]),
+            "w": np.array([1, 2, 3], dtype=np.int64),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(2),
+        key="k", left_ts="lt", right_lo="lo", right_hi="hi",
+        left_payload={"eid": pa.int64()}, right_payload={"w": pa.int64()},
+        num_buckets=4,
+    ).to_pandas()
+    pairs = sorted(zip(out["eid"], out["w"]))
+    # eid10 in w1 ([01,03)) only; eid11 in w2 ([02,09)); eid12 in w2;
+    # eid13 (key 2) in w3 ([03,04)); 01-03 excluded from w1 (hi exclusive)
+    assert pairs == [(10, 1), (11, 2), (12, 2), (13, 3)]
