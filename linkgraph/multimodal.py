@@ -9,8 +9,10 @@ them (schema, batch sizing for wide binary rows, actor signatures, output
 layout, deterministic fake codec for tests) is real and tested.
 
 Fake codec format (deterministic, produced by ``synth_media``):
-``b"FAKEIMG1" + width:uint16 LE + height:uint16 LE + payload bytes`` and
-``b"FAKEAUD1" + sample_rate:uint32 LE + n_samples:uint32 LE + payload``.
+``b"FAKEIMG1" + width:uint16 LE + height:uint16 LE + payload bytes``,
+``b"FAKEAUD1" + sample_rate:uint32 LE + n_samples:uint32 LE + payload`` and
+``b"FAKEVID1" + n_frames:uint16 + width:uint16 + height:uint16 LE +
+frame bytes (frame-major)``.
 """
 
 from __future__ import annotations
@@ -38,7 +40,21 @@ def synth_media(n: int, seed: int = 0) -> pa.Table:
     rng = np.random.default_rng(seed)
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        if i % 3 == 2:
+        if i % 7 == 6:
+            f = int(rng.integers(4, 24))
+            w = int(rng.integers(4, 16))
+            h = int(rng.integers(4, 16))
+            body = rng.integers(0, 256, f * w * h, dtype=np.uint8).tobytes()
+            payloads.append(
+                b"FAKEVID1"
+                + int(f).to_bytes(2, "little")
+                + int(w).to_bytes(2, "little")
+                + int(h).to_bytes(2, "little")
+                + body
+            )
+            kinds.append("video")
+            metas.append(json.dumps({"n_frames": f, "width": w, "height": h}))
+        elif i % 3 == 2:
             sr = 8000
             ns = int(rng.integers(100, 1000))
             body = rng.integers(0, 256, ns, dtype=np.uint8).tobytes()
@@ -85,6 +101,14 @@ def _decode(payload: bytes):
         ns = int.from_bytes(payload[12:16], "little")
         arr = np.frombuffer(payload[16 : 16 + ns], dtype=np.uint8)
         return "audio", arr, {"sample_rate": sr, "n_samples": ns}
+    if payload.startswith(b"FAKEVID1"):
+        f = int.from_bytes(payload[8:10], "little")
+        w = int.from_bytes(payload[10:12], "little")
+        h = int.from_bytes(payload[12:14], "little")
+        arr = np.frombuffer(payload[14 : 14 + f * w * h], dtype=np.uint8).reshape(
+            f, h, w
+        )
+        return "video", arr, {"n_frames": f, "width": w, "height": h}
     # real formats (JPEG/PNG/WAV/MP4) need codec libs not present in this
     # image — clearly-marked stub per the build contract
     raise NotImplementedError(
@@ -201,6 +225,65 @@ def resize_images(
     return media.map_batches(
         ImageResizer,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=resolve_concurrency(concurrency),
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows → ``n_out`` uniformly-spaced frames per
+    video, each emitted as a standalone FAKEIMG1 image row (media_id,
+    frame_idx, payload) — the frame-sampling front of a video-understanding
+    pipeline.  Non-video rows are dropped; a real deployment loads ffmpeg
+    here once per actor (stubbed via ``_decode``)."""
+
+    def __init__(self, n_out: int = 4) -> None:
+        self.n_out = n_out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, payloads = [], [], []
+        for mid, payload, kind in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist(), t["kind"].to_pylist()
+        ):
+            if kind != "video":
+                continue
+            _, arr, meta = _decode(payload)
+            f, h, w = arr.shape
+            take = np.unique(
+                (np.arange(self.n_out) * f // max(self.n_out, 1)).astype(np.int64)
+            )
+            for j in take:
+                ids.append(mid)
+                fidx.append(int(j))
+                payloads.append(
+                    b"FAKEIMG1"
+                    + int(w).to_bytes(2, "little")
+                    + int(h).to_bytes(2, "little")
+                    + arr[j].tobytes()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    media: rd.Dataset,
+    n_out: int = 4,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Uniformly sample ``n_out`` frames from every video row (small
+    batches: wide binary rows)."""
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_out": n_out},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=resolve_concurrency(concurrency),

@@ -12,7 +12,7 @@ def test_synth_media_schema():
     t = mm.synth_media(10, seed=1)
     assert t.schema.equals(mm.MEDIA_SCHEMA)
     kinds = set(t["kind"].to_pylist())
-    assert kinds == {"image", "audio"}
+    assert kinds == {"image", "audio", "video"}
 
 
 def test_media_features():
@@ -49,3 +49,39 @@ def test_decode_deterministic():
     t1 = mm.synth_media(5, seed=7)
     t2 = mm.synth_media(5, seed=7)
     assert t1.equals(t2)
+
+
+def test_frame_sampling():
+    import numpy as np
+    import ray.data as rd
+
+    from linkgraph import multimodal as mm
+
+    media = rd.from_arrow(mm.synth_media(70, seed=5))
+    frames = mm.sample_frames(media, n_out=4, concurrency=1).to_pandas()
+    vids = {r["media_id"] for _, r in frames.iterrows()}
+    assert vids == {i for i in range(70) if i % 7 == 6}
+    # each sampled frame is a decodable image of the parent video's size
+    row = frames.iloc[0]
+    kind, arr, meta = mm._decode(row["payload"])
+    assert kind == "image"
+    src = mm.synth_media(70, seed=5)
+    _, varr, vmeta = mm._decode(src["payload"][int(row["media_id"])].as_py())
+    assert arr.shape == varr.shape[1:]
+    assert np.array_equal(arr, varr[int(row["frame_idx"])])
+    # ≤ 4 uniformly spaced distinct frames per video
+    counts = frames.groupby("media_id").size()
+    assert (counts <= 4).all() and (counts >= 1).all()
+
+
+def test_media_features_includes_video():
+    import ray.data as rd
+
+    from linkgraph import multimodal as mm
+
+    media = rd.from_arrow(mm.synth_media(30, seed=3))
+    out = mm.media_features(media, concurrency=1).to_pandas()
+    assert len(out) == 30
+    assert set(out[out["kind"] == "video"]["media_id"]) == {
+        i for i in range(30) if i % 7 == 6
+    }
