@@ -92,7 +92,15 @@ def run_bench() -> dict:
     # Kept low-ish: every hash shuffle ships blocks × partitions shard
     # objects, and per-object overhead dominates below ~10^7 rows/partition.
     num_partitions = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "16"))
-    graph_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "32"))
+    bench_vertices = int(os.environ.get("GRAFT_BENCH_VERTICES", "6400000"))
+    # block count is a function of the DATA (identical at every CPU level):
+    # ~4 M input rows (≈8 M symmetrized) per block bounds each exchange map
+    # task's working set.  At 256 M edges with only 32 blocks, 32 concurrent
+    # map tasks × ~3 GB peak exceeded RAM and thrashed: CC 193 s vs 55 s
+    # with data-sized blocks (measured 2026-08-19).
+    graph_blocks = int(
+        os.environ.get("GRAFT_BENCH_BLOCKS", max(32, bench_vertices // 1_600_000))
+    )
     # GRAFT_BENCH_ONLY="cc,pagerank" restricts the run to those pipelines —
     # used by --scaling so the 8-vs-32 comparison pays only for the
     # north-rule kernels (everything else still runs in the default bench)
@@ -111,7 +119,7 @@ def run_bench() -> dict:
     # shuffle cost dominates the per-execution fixed cost), cached as
     # parquet so every parallelism level reads the identical bytes
     graph_path = _planted_parquet(
-        n_vertices=int(os.environ.get("GRAFT_BENCH_VERTICES", "6400000")),
+        n_vertices=bench_vertices,
         n_components=16,
         epv=4,
         seed=42,

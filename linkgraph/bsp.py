@@ -79,6 +79,49 @@ def dst_sorted(sym_edges: rd.Dataset) -> rd.Dataset:
 # splits on small graphs; pass max_block_rows=0 to disable splitting.
 DEFAULT_MAX_BLOCK_ROWS = 64 * 1024 * 1024
 
+# INPUT blocks larger than this are row-sliced before the exchange's map
+# phase: a map task's working set is several× its input (symmetrize 2×,
+# sort indices, arrow conversion), and CONCURRENCY × working set must fit
+# RAM.  Measured: 8 M-row input blocks × 32 concurrent contract+symmetrize
+# tasks thrashed this 125 GB box (CC at 256 M edges 193 s vs 55 s with
+# 4 M-row blocks); 4 M rows keeps the per-task peak ~1.5 GB.
+DEFAULT_INPUT_BLOCK_ROWS = 4 * 1024 * 1024
+
+
+@ray.remote(num_cpus=1)
+def _slice_input_task(block, cuts: np.ndarray) -> list:
+    """Row-slice one oversized INPUT block (arbitrary schema) into bounded
+    pieces (call with ``num_returns=len(cuts)+1``).  ``take`` copies, so a
+    pickled piece never carries the parent buffer."""
+    n = len(block)
+    bpts = np.concatenate([[0], cuts, [n]])
+    return [
+        block.take(pa.array(np.arange(bpts[i], bpts[i + 1], dtype=np.int64)))
+        for i in range(len(bpts) - 1)
+    ]
+
+
+def _bounded_input_refs(ds: rd.Dataset, cap: int | None) -> list:
+    """Materialized block refs with every block ≤ ``cap`` rows (oversized
+    blocks are row-sliced by a task round; row counts come free from the
+    bundle metadata)."""
+    if cap is None:
+        cap = DEFAULT_INPUT_BLOCK_ROWS
+    pairs = [
+        (bref, bm.num_rows)
+        for bundle in ds.materialize().iter_internal_ref_bundles()
+        for bref, bm in bundle.blocks
+    ]
+    out: list = []
+    for bref, rows in pairs:
+        if cap and rows and rows > cap:
+            s = -(-rows // cap)
+            cuts = (np.arange(1, s) * rows) // s
+            out.extend(_slice_input_task.options(num_returns=s).remote(bref, cuts))
+        else:
+            out.append(bref)
+    return out
+
 
 @ray.remote(num_cpus=1)
 def _sample_dst_task(block, n: int) -> np.ndarray:
@@ -277,8 +320,7 @@ def raw_dst_exchange(
     bounded sub-blocks; with ``grouped=True`` the first element of the
     return is ``list[list[ref]]`` — one owner GROUP per key range — for
     the sharded-state consumers that need single-owner vertex ranges."""
-    pre = sym_edges.materialize()
-    refs = dataset_block_refs(pre)
+    refs = _bounded_input_refs(sym_edges, None)
     if not refs:
         return [], 0, 0
     k = len(refs)
@@ -367,7 +409,7 @@ def raw_map_dst_exchange(
     the object store — the map output is never a materialized
     intermediate.  Same return contract as :func:`raw_dst_exchange`
     (including hub sub-splitting and ``grouped`` owner groups)."""
-    refs = dataset_block_refs(ds.materialize())
+    refs = _bounded_input_refs(ds, None)
     if not refs:
         return [], 0, 0
     k = len(refs)

@@ -114,3 +114,24 @@ def test_exchange_without_dedup_keeps_multiplicity():
     refs, n, v = bsp.raw_dst_exchange(rd.from_arrow(t))
     assert n == 3  # duplicates preserved
     assert v == 2
+
+
+def test_oversized_input_blocks_are_bounded(monkeypatch):
+    """Input blocks past DEFAULT_INPUT_BLOCK_ROWS are row-sliced before the
+    map phase (the exchange's working-set guard); results are unchanged."""
+    monkeypatch.setattr(bsp, "DEFAULT_INPUT_BLOCK_ROWS", 1000)
+    t = _edges(n=20_000, n_verts=3_000, seed=13)
+    ds = G.from_arrow_edges(t).repartition(2)  # 10k+ rows per input block
+    refs, n_rows, n_uniq = bsp.raw_map_dst_exchange(
+        ds, G.sym_prep_batch, dedup_sort_src=True
+    )
+    _check_contract(_pull(refs), expect_dedup_sorted_src=True)
+    s = t["src"].to_numpy(zero_copy_only=False)
+    d = t["dst"].to_numpy(zero_copy_only=False)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    pairs = np.unique(
+        np.stack([np.concatenate([s, d]), np.concatenate([d, s])]), axis=1
+    )
+    assert n_rows == pairs.shape[1]
+    assert n_uniq == len(np.unique(pairs[1]))
