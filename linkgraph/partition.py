@@ -146,6 +146,16 @@ def bucket_join(
     controls all schemas).  ``left_payload`` / ``right_payload`` — optional
     ``{column: arrow_type}`` for the non-key columns; passing them avoids a
     ``ds.schema()`` call that could force early execution of a lazy input.
+
+    ``salt > 1`` is the hot-KEY mitigation for the dataflow join paths: the
+    left side splits each key's rows across ``salt`` sub-buckets by row
+    hash while the right side replicates ``salt``×, so a celebrity join key
+    (a hub vertex in the label-propagation/PageRank shuffle fallbacks)
+    spreads over ``salt`` tasks instead of one.  Costs ``salt``× the right
+    side — use when the right side is the small one.  (The iterative
+    kernels' default BSP paths handle hub skew structurally via the
+    exchange's sub-split instead; see bsp.py.)  Verified on a 90 %-hot-key
+    distribution in tests/test_shapes.py.
     """
     if salt > 1:
         s_arrow = pa.int64()

@@ -217,3 +217,42 @@ def test_range_join_semantics():
     # eid10 in w1 ([01,03)) only; eid11 in w2 ([02,09)); eid12 in w2;
     # eid13 (key 2) in w3 ([03,04)); 01-03 excluded from w1 (hi exclusive)
     assert pairs == [(10, 1), (11, 2), (12, 2), (13, 3)]
+
+
+def test_bucket_join_salting_matches_unsalted_on_skew():
+    """Hot-key salting (replicate right side × salt, split left by hash):
+    identical join result on a heavily skewed key distribution."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.partition import bucket_join
+
+    rng = np.random.default_rng(5)
+    # 90% of left rows share one hub key
+    k = np.where(rng.random(20_000) < 0.9, 7, rng.integers(0, 50, 20_000))
+    left = pa.table(
+        {"key": k.astype(np.int64), "lv": np.arange(20_000, dtype=np.int64)}
+    )
+    right = pa.table(
+        {
+            "key": np.arange(50, dtype=np.int64),
+            "rv": np.arange(50, dtype=np.int64) * 10,
+        }
+    )
+
+    def run(salt):
+        out = bucket_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            ["key"],
+            num_buckets=4,
+            salt=salt,
+            left_payload={"lv": pa.int64()},
+            right_payload={"rv": pa.int64()},
+        ).to_pandas()
+        return out.sort_values(["key", "lv"]).reset_index(drop=True)
+
+    a, b = run(1), run(4)
+    assert len(a) == 20_000
+    assert a.equals(b)
