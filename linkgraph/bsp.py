@@ -36,13 +36,6 @@ import ray
 import ray.data as rd
 
 
-def dst_sorted(sym_edges: rd.Dataset) -> rd.Dataset:
-    """One range exchange by ``dst``, materialized.  Upstream maps
-    (contraction, symmetrize, block dedup) chained lazily onto the input
-    fuse into this single execution's map side."""
-    return sym_edges.sort("dst").materialize()
-
-
 # ---------------------------------------------------------------------------
 # raw-task range exchange (replaces Dataset.sort on the kernel hot paths)
 #
