@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order_asof": R.events_last_order_asof,
         "user_sessions": R.user_sessions,
         "lineitems_shipped_30d_range": R.lineitems_shipped_30d_range,
+        "corpus_curation": R.corpus_curation,
         "token_counts": R.token_counts,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
@@ -688,6 +689,41 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_orderkey = o.o_orderkey
              AND l.l_shipdate >= o.o_orderdate
              AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        """,
+        "corpus_curation": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     regexp_extract_all(lower(text), '[a-z]+') AS words,
+                     len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS np_,
+                     len(regexp_extract_all(text, '[0-9]')) AS nd_,
+                     len(string_split(text, ' ')) AS ntok
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_chars, ntok,
+                     len(words) AS n_words,
+                     len(list_filter(words, x -> x IN ({stoplist}))) AS stops,
+                     np_, nd_
+              FROM w
+            ), r AS (
+              SELECT doc_id, n_chars, ntok,
+                     CAST(np_ AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                     CAST(nd_ AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+                     CASE WHEN n_words > 0
+                          THEN CAST(stops AS DOUBLE) / n_words ELSE 0.0
+                     END AS stop_ratio
+              FROM f
+            ), q AS (
+              SELECT doc_id, ntok,
+                     least(n_chars / 500.0, 1.0) * 0.3
+                     + least(stop_ratio * 4, 1.0) * 0.3
+                     + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+                     + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2 AS quality
+              FROM r
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT count(*) AS n_docs, sum(q.ntok) AS total_tokens
+            FROM q JOIN keep USING (doc_id) WHERE q.quality >= 0.5
         """,
         "user_sessions": """
             WITH e AS (

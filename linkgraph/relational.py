@@ -646,3 +646,53 @@ def lineitems_shipped_30d_range(sf_dir: str) -> rd.Dataset:
         left_payload={"l_partkey": pa.int64()},
         right_payload={},
     )
+
+
+def corpus_curation(sf_dir: str) -> rd.Dataset:
+    """Composite training-data curation pipeline: documents → quality
+    scoring → exact dedup (keep min doc_id per content) → quality ≥ 0.5
+    filter → one-row corpus budget (surviving docs + their whitespace-token
+    total).  Composes the engine's own operators — QualityScorer batch
+    kernels, the content-hash dedup groupby, and a key-bucketed join —
+    end-to-end, value-checked against a single SQL twin."""
+    from linkgraph.partition import bucket_join
+    from linkgraph.textstats import QualityScorer
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    scorer = QualityScorer()
+
+    def score_block(t: pa.Table) -> pa.Table:
+        q = scorer(t)
+        ntok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {"doc_id": q["doc_id"], "quality": q["quality"], "ntok": ntok}
+        )
+
+    scored = docs.map_batches(score_block, batch_format="pyarrow")
+    keep = exact_dedup_docs(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["keep_id"]}), batch_format="pyarrow"
+    )
+    joined = bucket_join(
+        scored,
+        keep,
+        ["doc_id"],
+        num_buckets=_np(),
+        left_payload={"quality": pa.float64(), "ntok": pa.int64()},
+        right_payload={},
+    )
+    agg = joined.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], 0.5)),
+        batch_format="pyarrow",
+    ).aggregate(Count(alias_name="n_docs"), Sum("ntok", alias_name="total_tokens"))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([int(agg["n_docs"] or 0)], pa.int64()),
+                "total_tokens": pa.array(
+                    [int(agg["total_tokens"] or 0)], pa.int64()
+                ),
+            }
+        )
+    )
