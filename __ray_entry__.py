@@ -722,12 +722,12 @@ def oracle_sql() -> dict[str, str]:
               FROM r
             ),
             keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
-            SELECT count(*) AS n_docs, sum(q.ntok) AS total_tokens
+            SELECT count(*) AS n_docs, CAST(sum(q.ntok) AS BIGINT) AS total_tokens
             FROM q JOIN keep USING (doc_id) WHERE q.quality >= 0.5
         """,
         "user_sessions": """
             WITH e AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CAST(round(value * 1000000.0) AS BIGINT) AS value_u,
                      CASE WHEN lag(ts) OVER w IS NULL
                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
@@ -737,10 +737,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts, value_u,
-                     sum(new_s) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                     CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
-                     ) AS session_id
+                     ) AS BIGINT) AS session_id
               FROM e
             )
             SELECT user_id, session_id,
