@@ -327,13 +327,20 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         # single-node run-to-run variance is large and one-sided
         # (interference only ever adds time), so per-query minima over
-        # repeated fresh processes estimate the true cost
+        # repeated fresh processes estimate the true cost.  For each query,
+        # take the DETAIL dict from the repeat that achieved the minimum so
+        # derived stats (edges_per_sec etc.) stay consistent with the
+        # reported time — grafting minima onto run 0's detail produced
+        # contradictory JSONs (ADVICE r2).
         runs = [run_once(ncpu) for _ in range(repeats)]
         best = dict(runs[0])
-        best["queries"] = {
-            k: round(min(r["queries"][k] for r in runs), 3)
-            for k in runs[0]["queries"]
-        }
+        best["queries"] = {}
+        best["detail"] = {}
+        for k in runs[0]["queries"]:
+            winner = min(runs, key=lambda r: r["queries"][k])
+            best["queries"][k] = round(winner["queries"][k], 3)
+            if k in winner.get("detail", {}):
+                best["detail"][k] = winner["detail"][k]
         best["value"] = round(sum(best["queries"].values()), 3)
         best["repeats"] = repeats
         return best

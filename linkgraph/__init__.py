@@ -37,7 +37,29 @@ _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 # driver-side use_polars_sort path.
 import sys as _sys
 
-if "default_worker.py" in _os.path.basename(_sys.argv[0] or ""):
+
+def _in_ray_worker() -> bool:
+    """True iff this process is a Ray worker (task/actor executor).
+
+    Primary signal: Ray's own worker-mode flag (covers embedded interpreters
+    and nonstandard entrypoints like runtime_env setup_worker).  Fallback:
+    the worker entrypoint basename.  ``sys.argv`` may be empty in embedded
+    interpreters — never index it blindly.
+    """
+    w = _sys.modules.get("ray._private.worker")
+    if w is not None:
+        try:
+            mode = w.global_worker.mode
+            if mode is not None:
+                return mode == w.WORKER_MODE
+        except Exception:
+            pass
+    argv0 = _sys.argv[0] if _sys.argv else ""
+    base = _os.path.basename(argv0 or "")
+    return "default_worker.py" in base or "setup_worker" in base
+
+
+if _in_ray_worker():
     _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 try:  # numpy 1.18-1.26 private-but-stable API; numpy 2.x moved np.core
     import numpy as _np

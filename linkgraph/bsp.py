@@ -53,17 +53,28 @@ import ray.data as rd
 # HUB SKEW: the equal-dst-in-one-table rule concentrates a celebrity
 # vertex's whole in-incidence list in one merge/owner range.  Boundary
 # sampling adapts everywhere else (ranges equalize by row count), so the
-# worst case is ONE range ≈ max in-degree rows.  Ranges larger than
-# ``max_block_rows`` are therefore SUB-SPLIT after the merge into bounded
-# sub-blocks (possibly cutting inside a dst run).  Per-vertex state keeps a
-# single owner: ownership stays at the RANGE ("owner group") level — one
-# state shard per group, many bounded sub-blocks per group — so the
-# emit-side routing by owner range is unchanged and no vertex is ever
-# replicated.  Consumers reduce per dst within each sub-block and COMBINE
-# per-dst partials at the owner (min for labels, add for rank mass), which
-# is exact because both reductions are associative.  The emit side was
-# already hub-safe (emits split by owner range and pre-combine per target,
-# so an owner receives ≤ #sub-blocks pre-reduced partials per superstep).
+# worst case is ONE range ≈ max in-degree rows.  Ranges whose SAMPLED row
+# estimate exceeds ``max_block_rows`` are split BEFORE the merge: composite
+# ``(dst, src)`` sub-bounds drawn from the same samples cut inside the hot
+# dst run, each per-block chunk is sub-split at those cuts (one extra hop
+# for the hot range's data only), and each sub-range merges independently —
+# so no single merge task ever concat+sorts more than ~``max_block_rows``
+# rows (reference intent: the giant-component special case,
+# ``src/cc_openmp.c:596-613``).  Because the cuts are exact (dst, src)
+# values with a consistent searchsorted side, full-row duplicates never
+# straddle a cut (global dedup is preserved) and the concatenated
+# sub-merges are fully (dst, src)-sorted — byte-identical semantics to the
+# old sort-then-slice, without the unbounded sort.  The post-merge slicer
+# remains as a backstop for moderate sampling-error overflows.  Per-vertex
+# state keeps a single owner: ownership stays at the RANGE ("owner group")
+# level — one state shard per group, many bounded sub-blocks per group —
+# so the emit-side routing by owner range is unchanged and no vertex is
+# ever replicated.  Consumers reduce per dst within each sub-block and
+# COMBINE per-dst partials at the owner (min for labels, add for rank
+# mass), which is exact because both reductions are associative.  The
+# emit side was already hub-safe (emits split by owner range and
+# pre-combine per target, so an owner receives ≤ #sub-blocks pre-reduced
+# partials per superstep).
 # ---------------------------------------------------------------------------
 
 # Default sub-split threshold: 64 M rows ≈ 1 GB of (src, dst) pairs per
@@ -117,12 +128,18 @@ def _bounded_input_refs(ds: rd.Dataset, cap: int | None) -> list:
 
 
 @ray.remote(num_cpus=1)
-def _sample_dst_task(block, n: int) -> np.ndarray:
+def _sample_pairs_task(block, n: int) -> tuple:
+    """Evenly-spaced (dst, src) row sample + the block's row count.
+
+    dst drives the range bounds; the aligned src values let the driver cut
+    composite (dst, src) sub-bounds inside a hot dst run, and the row count
+    scales sample fractions into absolute per-range row estimates."""
     if block.num_columns == 0 or len(block) == 0:
-        return np.empty(0, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
     d = block["dst"].to_numpy(zero_copy_only=False)
+    s = block["src"].to_numpy(zero_copy_only=False)
     idx = np.linspace(0, len(d) - 1, min(n, len(d))).astype(np.int64)
-    return np.sort(d[idx])
+    return d[idx].astype(np.int64), s[idx].astype(np.int64), len(d)
 
 
 _PAIR_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
@@ -206,21 +223,26 @@ def _sort_table(t: pa.Table, keys: list[str]) -> pa.Table:
     return t.take(idx)
 
 
-@ray.remote(num_cpus=1, num_returns=3)
+@ray.remote(num_cpus=1, num_returns=5)
 def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
-    """Concatenate one range's chunks → dst-sorted table + its row count +
-    its unique-dst count (exact and globally additive: ranges are disjoint
-    and own every copy of their dst values — the vertex count falls out of
-    the exchange for free, so no consumer pays a probe for it).
+    """Concatenate one (sub-)range's chunks → dst-sorted table + its row
+    count + its unique-dst count + its first/last dst value.  Range counts
+    are exact and globally additive (ranges are disjoint and own every copy
+    of their dst values — the vertex count falls out of the exchange for
+    free, so no consumer pays a probe for it); for PRE-SPLIT hot ranges the
+    driver corrects the unique-dst sum with the first/last values (a dst
+    run cut across adjacent sub-merges is counted once per piece).
 
     ``dedup_sort_src=True`` additionally lexsorts rows within each dst run
     by the remaining columns (src, then any extras in schema order) and
     drops exact duplicate ROWS — a GLOBAL dedup, valid for the same
-    reason.  Extra schema columns beyond (src, dst) ride along through
-    sort, dedup and split (e.g. the directed-PageRank flag column)."""
+    reason (hot-range cuts are exact (dst, src) values, so full-row
+    duplicates never straddle a cut).  Extra schema columns beyond
+    (src, dst) ride along through sort, dedup and split (e.g. the
+    directed-PageRank flag column)."""
     live = [c for c in chunks if len(c)]
     if not live:
-        return schema.empty_table(), 0, 0
+        return schema.empty_table(), 0, 0, -1, -1
     extras = [n for n in schema.names if n not in ("src", "dst")]
     # chunks may arrive int32-compacted (see _compact_cols), possibly mixed
     # with int64 chunks from blocks whose ids didn't fit — promote to the
@@ -246,7 +268,7 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
         # the declared schema so consumers never see a compact dtype
         out = t.cast(schema) if t.schema != schema else t
     nuniq = 1 + int((d[1:] != d[:-1]).sum())
-    return out, int(len(d)), nuniq
+    return out, int(len(d)), nuniq, int(d[0]), int(d[-1])
 
 
 @ray.remote(num_cpus=1)
@@ -263,29 +285,170 @@ def _slice_block_task(block, cuts: np.ndarray, schema: pa.Schema) -> list:
     ]
 
 
+def _searchsorted_any(a: np.ndarray, v: int, side: str) -> int:
+    """searchsorted of a python-int value in a (possibly int32-compacted)
+    sorted array without upcasting the array."""
+    if a.dtype != np.int64:
+        info = np.iinfo(a.dtype)
+        if v < info.min:
+            return 0
+        if v > info.max:
+            return len(a)
+        v = a.dtype.type(v)
+    return int(np.searchsorted(a, v, side=side))
+
+
+@ray.remote(num_cpus=1)
+def _composite_split_task(
+    block, d_cuts: np.ndarray, s_cuts: np.ndarray, schema: pa.Schema
+) -> list:
+    """Split one dst-sorted hot-range chunk at composite ``(dst, src)`` cut
+    values: rows strictly below a cut (dst smaller, or dst equal and src
+    smaller) go left.  Only the dst runs that contain a cut are re-ordered
+    (by src) — the piece boundaries are then plain row slices.  Equal
+    (dst, src) rows always land on the same side of every cut, so full-row
+    duplicates never straddle a sub-merge boundary."""
+    m = len(d_cuts) + 1
+    if block.num_columns == 0 or len(block) == 0:
+        e = schema.empty_table()
+        return [e] * m if m > 1 else [e]
+    cols = _cols_of(block, schema)
+    d, s = cols["dst"], cols["src"]
+    order = np.arange(len(d), dtype=np.int64)
+    positions = np.empty(len(d_cuts), dtype=np.int64)
+    run_lo = -1  # runs are visited in nondecreasing dst-cut order
+    for i, (dc, sc) in enumerate(zip(d_cuts, s_cuts)):
+        lo = _searchsorted_any(d, int(dc), "left")
+        hi = _searchsorted_any(d, int(dc), "right")
+        if hi > lo:
+            if lo != run_lo:  # sort this dst run by src once
+                run = order[lo:hi]
+                order[lo:hi] = run[np.argsort(s[run], kind="stable")]
+                run_lo = lo
+            run_src = s[order[lo:hi]]
+            positions[i] = lo + _searchsorted_any(run_src, int(sc), "left")
+        else:
+            positions[i] = lo
+    positions = np.maximum.accumulate(positions)
+    cols = {n: a[order] for n, a in cols.items()}
+    bpts = np.concatenate([[0], positions, [len(d)]])
+    return [
+        _table_raw({n: a[bpts[i] : bpts[i + 1]] for n, a in cols.items()})
+        for i in range(m)
+    ]
+
+
+def _build_range_merges(
+    parts: list,
+    samples: list,
+    block_rows: list,
+    bounds: np.ndarray,
+    dedup_sort_src: bool,
+    schema: pa.Schema,
+    max_block_rows: int | None,
+) -> list:
+    """One merge-task list per key range; ranges whose sampled row estimate
+    exceeds the bound are pre-split at composite (dst, src) cuts so every
+    merge input stays bounded (``parts[i][j]`` = chunk of block i, range j;
+    ``samples`` = aligned (dst, src) sample arrays per block)."""
+    cap = DEFAULT_MAX_BLOCK_ROWS if max_block_rows is None else max_block_rows
+    k = len(parts)
+    nk = len(bounds) + 1
+    est = np.zeros(nk)
+    if cap:
+        for (sd, _ss), n_i in zip(samples, block_rows):
+            if len(sd):
+                idx = np.searchsorted(bounds, sd, side="right")
+                est += np.bincount(idx, minlength=nk) * (n_i / len(sd))
+    range_merges: list[list] = []
+    for j in range(nk):
+        chunks = [parts[i][j] for i in range(k)]
+        if cap and est[j] > cap:
+            sel_d, sel_s = [], []
+            for sd, ss in samples:
+                if len(sd):
+                    in_j = np.searchsorted(bounds, sd, side="right") == j
+                    sel_d.append(sd[in_j])
+                    sel_s.append(ss[in_j])
+            d_in = np.concatenate(sel_d) if sel_d else np.empty(0, np.int64)
+            if len(d_in) >= 2:
+                s_in = np.concatenate(sel_s)
+                order = np.lexsort((s_in, d_in))
+                d_in, s_in = d_in[order], s_in[order]
+                target = max(1, int(cap * 0.75))
+                m = int(min(-(-est[j] // target), 256, len(d_in)))
+                if m >= 2:
+                    ci = np.linspace(0, len(d_in) - 1, m + 1).astype(np.int64)[1:-1]
+                    pairs = np.unique(
+                        np.stack([d_in[ci], s_in[ci]], axis=1), axis=0
+                    )
+                    d_cuts, s_cuts = pairs[:, 0], pairs[:, 1]
+                    if len(d_cuts):
+                        subparts = [
+                            _composite_split_task.options(
+                                num_returns=len(d_cuts) + 1
+                            ).remote(chunks[i], d_cuts, s_cuts, schema)
+                            for i in range(k)
+                        ]
+                        range_merges.append(
+                            [
+                                _merge_range_task.remote(
+                                    dedup_sort_src,
+                                    schema,
+                                    *[subparts[i][p] for i in range(k)],
+                                )
+                                for p in range(len(d_cuts) + 1)
+                            ]
+                        )
+                        continue
+        range_merges.append(
+            [_merge_range_task.remote(dedup_sort_src, schema, *chunks)]
+        )
+    return range_merges
+
+
 def _finish_merges(
-    merged: list, schema: pa.Schema, max_block_rows: int | None, grouped: bool
+    range_merges: list, schema: pa.Schema, max_block_rows: int | None, grouped: bool
 ) -> tuple[list, int, int]:
-    """Common exchange tail: pull counts, sub-split oversized ranges into
-    bounded sub-blocks (one owner GROUP per range), return flat refs or
-    groups.  ``max_block_rows=None`` → module default; ``0`` disables."""
+    """Common exchange tail: pull counts, correct the unique-dst sum for
+    dst runs cut across pre-split sub-merges, sub-split any still-oversized
+    output as a backstop (one owner GROUP per range), return flat refs or
+    groups.  ``range_merges`` is a list (per key range) of merge-task
+    5-tuples.  ``max_block_rows=None`` → module default; ``0`` disables."""
     if max_block_rows is None:
         max_block_rows = DEFAULT_MAX_BLOCK_ROWS
-    counts = ray.get([m[1] for m in merged] + [m[2] for m in merged])
-    rows = counts[: len(merged)]
-    n = int(sum(rows))
-    n_uniq = int(sum(counts[len(merged) :]))
+    flat = [m for g in range_merges for m in g]
+    metas = ray.get([r for m in flat for r in (m[1], m[2], m[3], m[4])])
+    n = 0
+    n_uniq = 0
     groups: list[list] = []
-    for m, r in zip(merged, rows):
-        if max_block_rows and r > max_block_rows:
-            s = -(-r // max_block_rows)  # ceil
-            cuts = (np.arange(1, s) * r) // s
-            subs = _slice_block_task.options(num_returns=s).remote(
-                m[0], cuts, schema
-            )
-            groups.append(list(subs))
-        else:
-            groups.append([m[0]])
+    pos = 0
+    for g in range_merges:
+        gm = metas[4 * pos : 4 * (pos + len(g))]
+        blocks: list = []
+        prev_last = None
+        for i, m in enumerate(g):
+            r, nu, d0, d1 = gm[4 * i : 4 * i + 4]
+            n += r
+            if r > 0:
+                n_uniq += nu - (1 if prev_last is not None and d0 == prev_last else 0)
+                prev_last = d1
+            if max_block_rows and r > max_block_rows:
+                s = -(-r // max_block_rows)  # ceil
+                cuts = (np.arange(1, s) * r) // s
+                blocks.extend(
+                    _slice_block_task.options(num_returns=s).remote(
+                        m[0], cuts, schema
+                    )
+                )
+            elif r > 0 or len(g) == 1:
+                # keep empty singles (degenerate-range contract), drop empty
+                # hot-range pieces (duplicate cut pairs make them)
+                blocks.append(m[0])
+        if not blocks:
+            blocks.append(g[0][0])
+        groups.append(blocks)
+        pos += len(g)
     if grouped:
         return groups, n, n_uniq
     return [b for g in groups for b in g], n, n_uniq
@@ -309,56 +472,66 @@ def raw_dst_exchange(
     instead of paying a separate probe.  Wrap the refs with
     ``ray.data.from_arrow_refs`` where a Dataset is needed.
 
-    Ranges larger than ``max_block_rows`` (hub skew) are sub-split into
-    bounded sub-blocks; with ``grouped=True`` the first element of the
-    return is ``list[list[ref]]`` — one owner GROUP per key range — for
-    the sharded-state consumers that need single-owner vertex ranges."""
+    Ranges larger than ``max_block_rows`` (hub skew) are pre-split at
+    composite (dst, src) cuts into bounded sub-merges; with
+    ``grouped=True`` the first element of the return is ``list[list[ref]]``
+    — one owner GROUP per key range — for the sharded-state consumers that
+    need single-owner vertex ranges."""
     refs = _bounded_input_refs(sym_edges, None)
     if not refs:
         return [], 0, 0
     k = len(refs)
-    samples = ray.get([_sample_dst_task.remote(r, samples_per_block) for r in refs])
-    samples = [x for x in samples if len(x)]
-    if not samples:
+    sampled = ray.get(
+        [_sample_pairs_task.remote(r, samples_per_block) for r in refs]
+    )
+    samples = [(d, s) for d, s, _n in sampled]
+    block_rows = [n for _d, _s, n in sampled]
+    live = [d for d, _s in samples if len(d)]
+    if not live:
         m = _merge_range_task.remote(dedup_sort_src, schema, *refs)
-        return _finish_merges([m], schema, max_block_rows, grouped)
-    alls = np.sort(np.concatenate(samples))
+        return _finish_merges([[m]], schema, max_block_rows, grouped)
+    alls = np.sort(np.concatenate(live))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)  # duplicate boundaries → empty ranges, drop
     nk = len(bounds) + 1
     if nk == 1:  # degenerate key range: merge everything into one block
         m = _merge_range_task.remote(dedup_sort_src, schema, *refs)
-        return _finish_merges([m], schema, max_block_rows, grouped)
+        return _finish_merges([[m]], schema, max_block_rows, grouped)
     bref = ray.put(bounds)
     parts = [
         _range_split_task.options(num_returns=nk).remote(r, bref, schema)
         for r in refs
     ]
-    merged = [
-        _merge_range_task.remote(dedup_sort_src, schema, *[parts[i][j] for i in range(k)])
-        for j in range(nk)
-    ]
-    return _finish_merges(merged, schema, max_block_rows, grouped)
+    range_merges = _build_range_merges(
+        parts, samples, block_rows, bounds, dedup_sort_src, schema, max_block_rows
+    )
+    return _finish_merges(range_merges, schema, max_block_rows, grouped)
 
 
 @ray.remote(num_cpus=1, num_returns=2)
 def _map_sort_sample_task(block, map_fn, n: int, schema: pa.Schema):
     """Apply ``map_fn`` to one input block, sort the result by ``dst``, and
-    return (sorted table, evenly-spaced dst sample).  Fusing the map into
-    the exchange removes a full object-store pass: the map output is never
-    materialized as a separate Dataset and never re-read or re-sorted by
-    the split stage."""
+    return (sorted table, ((dst, src) sample + row count)).  Fusing the map
+    into the exchange removes a full object-store pass: the map output is
+    never materialized as a separate Dataset and never re-read or re-sorted
+    by the split stage."""
+    empty_sample = (np.empty(0, np.int64), np.empty(0, np.int64), 0)
     if block.num_columns == 0 or len(block) == 0:
-        return schema.empty_table(), np.empty(0, np.int64)
+        return schema.empty_table(), empty_sample
     t = map_fn(block)
     if len(t) == 0:
-        return schema.empty_table(), np.empty(0, np.int64)
+        return schema.empty_table(), empty_sample
     cols = _cols_of(t, schema)
     order = np.argsort(cols["dst"], kind="stable")
     cols = _compact_cols({name: a[order] for name, a in cols.items()})
     d = cols["dst"]
     idx = np.linspace(0, len(d) - 1, min(n, len(d))).astype(np.int64)
-    return _table_raw(cols), d[idx].astype(np.int64)
+    sample = (
+        d[idx].astype(np.int64),
+        cols["src"][idx].astype(np.int64),
+        len(d),
+    )
+    return _table_raw(cols), sample
 
 
 @ray.remote(num_cpus=1)
@@ -410,29 +583,30 @@ def raw_map_dst_exchange(
         _map_sort_sample_task.remote(r, map_fn, samples_per_block, schema)
         for r in refs
     ]
-    samples = ray.get([p[1] for p in prepped])
+    sampled = ray.get([p[1] for p in prepped])
     sorted_refs = [p[0] for p in prepped]
-    samples = [x for x in samples if len(x)]
-    if not samples:
+    samples = [(d, s) for d, s, _n in sampled]
+    block_rows = [n for _d, _s, n in sampled]
+    live = [d for d, _s in samples if len(d)]
+    if not live:
         m = _merge_range_task.remote(dedup_sort_src, schema, *sorted_refs)
-        return _finish_merges([m], schema, max_block_rows, grouped)
-    alls = np.sort(np.concatenate(samples))
+        return _finish_merges([[m]], schema, max_block_rows, grouped)
+    alls = np.sort(np.concatenate(live))
     bounds = alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)[1:-1]]
     bounds = np.unique(bounds)
     nk = len(bounds) + 1
     if nk == 1:
         m = _merge_range_task.remote(dedup_sort_src, schema, *sorted_refs)
-        return _finish_merges([m], schema, max_block_rows, grouped)
+        return _finish_merges([[m]], schema, max_block_rows, grouped)
     bref = ray.put(bounds)
     parts = [
         _split_presorted_task.options(num_returns=nk).remote(r, bref, schema)
         for r in sorted_refs
     ]
-    merged = [
-        _merge_range_task.remote(dedup_sort_src, schema, *[parts[i][j] for i in range(k)])
-        for j in range(nk)
-    ]
-    return _finish_merges(merged, schema, max_block_rows, grouped)
+    range_merges = _build_range_merges(
+        parts, samples, block_rows, bounds, dedup_sort_src, schema, max_block_rows
+    )
+    return _finish_merges(range_merges, schema, max_block_rows, grouped)
 
 
 def dataset_block_refs(ds: rd.Dataset) -> list:

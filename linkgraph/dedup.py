@@ -338,8 +338,9 @@ class SimHasher:
         self.seed = int(seed)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import polars as pl
+        from linkgraph.runtime import import_polars
 
+        pl = import_polars()
         n = len(t)
         out = np.zeros(n, dtype=np.uint64)
         if n:

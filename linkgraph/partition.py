@@ -74,25 +74,34 @@ def broadcast_join(
 
     from linkgraph.runtime import resolve_concurrency
 
-    tbl = pa.concat_tables(
-        ray.get(right.to_arrow_refs()), promote_options="default"
-    ).combine_chunks()
-    payload_cols = [c for c in tbl.column_names if c != right_on]
-    if len(tbl) > max_rows:
+    # Materialize into the (spillable) object store first so the row count is
+    # cheap metadata, and only pull blocks onto the driver once the count is
+    # known to be under the gate.  An oversized right side never touches the
+    # driver heap — it stays distributed and flows into the bucket_join.
+    right = right.materialize()
+    schema = right.schema()
+    payload_cols = [c for c in schema.names if c != right_on]
+    if right.count() > max_rows:
         lkey = left_on
+        rkey = right_on
 
         def rn(t: pa.Table) -> pa.Table:
             return t.rename_columns(
-                [lkey if c == right_on else c for c in t.column_names]
+                [lkey if c == rkey else c for c in t.column_names]
             )
 
         return bucket_join(
             left,
-            rd.from_arrow(tbl).map_batches(rn, batch_format="pyarrow"),
+            right.map_batches(rn, batch_format="pyarrow"),
             [left_on],
-            right_payload={c: tbl.schema.field(c).type for c in payload_cols},
+            right_payload={
+                c: schema.base_schema.field(c).type for c in payload_cols
+            },
         )
 
+    tbl = pa.concat_tables(
+        ray.get(right.to_arrow_refs()), promote_options="default"
+    ).combine_chunks()
     keys = tbl[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(keys, kind="stable")
     skeys = keys[order]

@@ -111,6 +111,28 @@ def list_column_to_matrix(col, dtype=None):
     return np.asarray(col.to_pylist(), dtype=dtype)
 
 
+def import_polars():
+    """Import polars with the 1-thread cap applied in Ray workers.
+
+    polars sizes its global pool at first import; linkgraph.__init__ caps it
+    when it detects a worker, but module import order isn't guaranteed for
+    every entrypoint (embedded interpreters, pre-init imports).  Re-check at
+    the point of first polars use — if the pool doesn't exist yet and we're
+    in a worker, the cap still lands in time.
+    """
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        from linkgraph import _in_ray_worker
+
+        if _in_ray_worker():
+            os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    return pl
+
+
 def content_hash64(col) -> "np.ndarray":
     """Vectorized 64-bit content hash of a (chunked) string column → int64.
 
@@ -121,9 +143,9 @@ def content_hash64(col) -> "np.ndarray":
     them to an oracle), so the exact hash function is free to change.
     """
     import numpy as np
-    import polars as pl
     import pyarrow as pa
 
+    pl = import_polars()
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if len(col) == 0:

@@ -238,10 +238,18 @@ class LangId:
         if isinstance(low, pa.ChunkedArray):
             low = low.combine_chunks()
         # zero-copy flat byte buffer + per-doc offsets of the lowered text
-        # (handle a nonzero array offset from upstream slicing)
+        # (handle a nonzero array offset from upstream slicing; offsets are
+        # int32 for string, int64 for large_string — misreading one as the
+        # other silently produces garbage trigram counts)
         bufs = low.buffers()
+        if pa.types.is_large_string(low.type):
+            off_dtype, off_width = np.int64, 8
+        elif pa.types.is_string(low.type):
+            off_dtype, off_width = np.int32, 4
+        else:
+            raise TypeError(f"LangId expects a (large_)string column, got {low.type}")
         offsets = np.frombuffer(
-            bufs[1], dtype=np.int32, count=n_docs + 1, offset=low.offset * 4
+            bufs[1], dtype=off_dtype, count=n_docs + 1, offset=low.offset * off_width
         ).astype(np.int64)
         base, end = int(offsets[0]), int(offsets[-1])
         data = (

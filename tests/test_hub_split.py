@@ -161,3 +161,74 @@ def test_cc_checkpoint_resume_with_split(tmp_ckpt):
     )
     assert res1.num_components == res2.num_components == 1 + N_CHAINS
     assert _labels_of(res1.labels) == _labels_of(res2.labels)
+
+
+class _BackstopDisabled:
+    """Stand-in for bsp._slice_block_task that fails the test if the
+    post-merge backstop is ever invoked."""
+
+    def options(self, **_kw):
+        raise AssertionError(
+            "post-merge backstop fired — pre-merge split failed to bound the merge"
+        )
+
+    def remote(self, *_a, **_kw):
+        raise AssertionError(
+            "post-merge backstop fired — pre-merge split failed to bound the merge"
+        )
+
+
+def test_hub_presplit_bounds_merges_raw_exchange(monkeypatch):
+    """With the post-merge slicer disabled, the composite (dst, src)
+    pre-split alone must keep every merge task's output under the bound —
+    i.e. no single task ever concat+sorts a celebrity vertex's whole
+    incidence run (VERDICT r2 item 2)."""
+    monkeypatch.setattr(bsp, "_slice_block_task", _BackstopDisabled())
+    edges, _ = _hub_edges()
+    sym = G.symmetrize_block(G.from_arrow_edges(edges).repartition(8))
+    groups, n_rows, n_uniq = bsp.raw_dst_exchange(
+        sym, dedup_sort_src=True, grouped=True
+    )
+    sizes = [len(ray.get(b)) for g in groups for b in g]
+    assert max(sizes) <= 400
+    s = edges["src"].to_numpy()
+    d0 = edges["dst"].to_numpy()
+    pairs = np.unique(
+        np.stack([np.concatenate([s, d0]), np.concatenate([d0, s])]), axis=1
+    )
+    assert n_rows == pairs.shape[1]
+    assert n_uniq == len(np.unique(pairs[1]))
+
+
+def test_hub_presplit_bounds_merges_map_exchange(monkeypatch):
+    monkeypatch.setattr(bsp, "_slice_block_task", _BackstopDisabled())
+    edges, _ = _hub_edges()
+    ds = G.from_arrow_edges(edges).repartition(8)
+    groups, n_rows, n_uniq = bsp.raw_map_dst_exchange(
+        ds, G.sym_prep_batch, dedup_sort_src=True, grouped=True
+    )
+    sizes = [len(ray.get(b)) for g in groups for b in g]
+    assert max(sizes) <= 400
+    # group concatenation still fully dst-sorted and range-disjoint
+    last_max = None
+    total = 0
+    for g in groups:
+        tabs = [ray.get(b) for b in g]
+        if sum(len(t) for t in tabs) == 0:
+            continue
+        d = np.concatenate(
+            [t["dst"].to_numpy(zero_copy_only=False) for t in tabs if len(t)]
+        )
+        assert np.all(d[1:] >= d[:-1])
+        if last_max is not None:
+            assert d[0] > last_max
+        last_max = d[-1]
+        total += len(d)
+    assert total == n_rows
+    s = edges["src"].to_numpy()
+    d0 = edges["dst"].to_numpy()
+    pairs = np.unique(
+        np.stack([np.concatenate([s, d0]), np.concatenate([d0, s])]), axis=1
+    )
+    assert n_rows == pairs.shape[1]
+    assert n_uniq == len(np.unique(pairs[1]))

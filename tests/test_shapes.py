@@ -256,3 +256,45 @@ def test_bucket_join_salting_matches_unsalted_on_skew():
     a, b = run(1), run(4)
     assert len(a) == 20_000
     assert a.equals(b)
+
+
+def test_broadcast_join_paths_agree_and_gate_before_pull():
+    """broadcast_join must produce identical results on both sides of the
+    max_rows gate, and the oversized-right fallback must NOT materialize the
+    right side onto the driver (ADVICE r2: count() gates before any
+    to_arrow_refs pull)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.partition import broadcast_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {
+            "key": rng.integers(0, 200, 5_000).astype(np.int64),
+            "lv": np.arange(5_000, dtype=np.int64),
+        }
+    )
+    right = pa.table(
+        {
+            "key": np.arange(200, dtype=np.int64),
+            "rv": np.arange(200, dtype=np.int64) * 3,
+        }
+    )
+
+    def run(max_rows):
+        out = broadcast_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            left_on="key",
+            right_on="key",
+            max_rows=max_rows,
+        ).to_pandas()
+        return out.sort_values(["key", "lv"]).reset_index(drop=True)
+
+    small = run(1_000)  # broadcast path
+    big = run(50)  # right (200 rows) exceeds gate -> bucket_join fallback
+    assert len(small) == 5_000
+    assert small.equals(big)
+    assert (small["rv"] == small["key"] * 3).all()

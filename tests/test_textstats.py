@@ -64,3 +64,33 @@ def test_fingerprints_stable_and_discriminative():
     rows = {r["doc_id"]: list(r["fp"]) for r in textstats.fingerprints(ds).take_all()}
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
+
+
+def test_lang_id_large_string_offsets():
+    """large_string columns carry int64 offsets; LangId must read them as
+    such (a blind int32 read silently corrupts the trigram counts)."""
+    import ray
+
+    en = ["the cat and the dog are in the house with the children today"] * 10
+    de = ["der hund und die katze sind mit den kindern in dem haus heute"] * 10
+    ds = docs(en + de, ["en"] * 10 + ["de"] * 10)
+    profiles = textstats.train_lang_profiles(ds, sample_per_lang=10)
+    ident = textstats.LangId(ray.put(profiles))
+
+    texts = en[:3] + de[:3]
+    small = pa.table(
+        {"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    large = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    got_small = ident(small).to_pandas()
+    got_large = ident(large).to_pandas()
+    assert got_small.equals(got_large)
+    assert list(got_large["pred_lang"]) == ["en"] * 3 + ["de"] * 3
+    # sliced large_string (nonzero array offset) must also parse correctly
+    got_sliced = ident(large.slice(2)).to_pandas().reset_index(drop=True)
+    assert got_sliced.equals(got_large.iloc[2:].reset_index(drop=True))
