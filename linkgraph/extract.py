@@ -15,7 +15,6 @@ pool rules).
 
 from __future__ import annotations
 
-import hashlib
 import html as _htmlmod
 import re
 from urllib.parse import urldefrag, urljoin, urlsplit, urlunsplit
@@ -170,21 +169,42 @@ def pages_to_text(
     )
 
 
+def urls_to_ids(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized stable 63-bit vertex ids (int64 ≥ 0) for a url column.
+
+    One seeded xxhash pass over the flat Arrow string buffer (polars,
+    C-speed) — the same engine-internal-hash contract as
+    ``runtime.content_hash64``: the id is a partitioning/join key that never
+    leaves the engine (the extraction oracle is hash-independent by
+    construction), so the exact function is free to change between releases.
+    Within one environment it is deterministic across processes, workers and
+    parallelism levels.  ``>> 1`` keeps the historical non-negative 63-bit
+    contract.
+    """
+    from linkgraph.runtime import import_polars
+
+    pl = import_polars()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.int64)
+    h = pl.from_arrow(col).hash(seed=0).to_numpy()
+    return (h >> np.uint64(1)).astype(np.int64, copy=False)
+
+
 def url_to_id(url: str) -> int:
-    """Stable 63-bit vertex id of a normalized url (blake2b-8)."""
-    return int.from_bytes(
-        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
-    ) >> 1
+    """Stable 63-bit vertex id of a normalized url (scalar convenience).
+
+    Defined as ``urls_to_ids`` on a 1-row column so scalar and batch paths
+    can never diverge; hot paths should call ``urls_to_ids`` directly.
+    """
+    return int(urls_to_ids(pa.array([url], pa.string()))[0])
 
 
 def _ids_batch(t: pa.Table) -> pa.Table:
-    src = np.fromiter(
-        (url_to_id(u) for u in t["src_url"].to_pylist()), dtype=np.int64, count=len(t)
+    return pa.table(
+        {"src": urls_to_ids(t["src_url"]), "dst": urls_to_ids(t["dst_url"])}
     )
-    dst = np.fromiter(
-        (url_to_id(u) for u in t["dst_url"].to_pylist()), dtype=np.int64, count=len(t)
-    )
-    return pa.table({"src": src, "dst": dst})
 
 
 def url_edges_to_ids(url_edges: rd.Dataset) -> rd.Dataset:
@@ -196,9 +216,6 @@ def url_id_map(pages: rd.Dataset) -> rd.Dataset:
     """(url, vertex) mapping for joining results back to urls."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = np.fromiter(
-            (url_to_id(u) for u in t["url"].to_pylist()), dtype=np.int64, count=len(t)
-        )
-        return pa.table({"url": t["url"], "vertex": ids})
+        return pa.table({"url": t["url"], "vertex": urls_to_ids(t["url"])})
 
     return pages.select_columns(["url"]).map_batches(fn, batch_format="pyarrow")
