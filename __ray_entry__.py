@@ -375,9 +375,13 @@ def _embedding_neardup(sf_dir: str):
 def _knn_queries(sf_dir: str):
     import ray.data as rd
 
+    import pyarrow.compute as pc
+
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     rows = sorted(
-        (r for r in emb.filter(lambda r: r["vec_id"] < 4).take_all()),
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 4)), batch_format="pyarrow"
+        ).take_all(),
         key=lambda r: r["vec_id"],
     )
     return emb, np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)

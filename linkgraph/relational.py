@@ -463,7 +463,9 @@ def knn_vec0_top10(sf_dir: str) -> rd.Dataset:
     import ray
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q_row = [r for r in emb.filter(lambda r: r["vec_id"] == 0).take(1)][0]
+    q_row = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).take(1)[0]
     q = np.asarray(q_row["embedding"], dtype=np.float64)
     qn = q / np.linalg.norm(q)
     ref = ray.put(qn)
@@ -670,7 +672,13 @@ def corpus_curation(sf_dir: str) -> rd.Dataset:
             {"doc_id": q["doc_id"], "quality": q["quality"], "ntok": ntok}
         )
 
-    scored = docs.map_batches(score_block, batch_format="pyarrow")
+    # The quality filter commutes with the inner join, so apply it to the
+    # scored side BEFORE the bucketed shuffle — only surviving rows pay the
+    # exchange (at corpus scale most of the table is filtered here).
+    scored = docs.map_batches(score_block, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], 0.5)),
+        batch_format="pyarrow",
+    )
     keep = exact_dedup_docs(sf_dir).map_batches(
         lambda t: pa.table({"doc_id": t["keep_id"]}), batch_format="pyarrow"
     )
@@ -682,10 +690,9 @@ def corpus_curation(sf_dir: str) -> rd.Dataset:
         left_payload={"quality": pa.float64(), "ntok": pa.int64()},
         right_payload={},
     )
-    agg = joined.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["quality"], 0.5)),
-        batch_format="pyarrow",
-    ).aggregate(Count(alias_name="n_docs"), Sum("ntok", alias_name="total_tokens"))
+    agg = joined.aggregate(
+        Count(alias_name="n_docs"), Sum("ntok", alias_name="total_tokens")
+    )
     return rd.from_arrow(
         pa.table(
             {
