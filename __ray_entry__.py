@@ -50,14 +50,19 @@ def _cc_sizes(sf_dir: str):
 
 def _cc_frequent_label(sf_dir: str):
     """Seeded sample-mode estimate of the giant component's label (ref
-    ``sample_frequent_element``, ``src/cc_openmp.c:422-496``); rows-only
-    driver check (sampling is not SQL-reproducible)."""
+    ``sample_frequent_element``, ``src/cc_openmp.c:422-496``), run in the
+    EXHAUSTIVE-sample regime (sample fraction capped at 1.0) on the
+    membership graph, where the estimator is exact and value-checked against
+    the SQL mode of the recursive-CTE component labels — the same
+    degenerate-regime convention as ``knn_ivf``'s exhaustive probe.  The
+    sub-sampling regime stays pytest-gated (``tests/test_cc.py``)."""
     import ray.data as rd
 
-    from linkgraph.cc import sample_frequent_label
-    from linkgraph.pipelines import flagship
+    from linkgraph.cc import connected_components, sample_frequent_label
+    from linkgraph.pipelines import membership_edges
 
-    label, freq = sample_frequent_label(flagship(sf_dir, num_partitions=8).labels)
+    labels = connected_components(membership_edges(sf_dir), num_partitions=8).labels
+    label, freq = sample_frequent_label(labels, n_samples=1 << 40)
     return rd.from_arrow(
         pa.table(
             {
@@ -456,21 +461,44 @@ def _token_stats(sf_dir: str):
 
 
 def _fingerprints(sf_dir: str):
+    """Runs the full k-min sketch stage, returns the SQL-recomputable
+    (doc_id, content_fp) projection for the driver value check; the fp
+    sketch column is engine-internal xxhash (property-tested in pytest) and
+    is dropped from the compared frame."""
     import ray.data as rd
 
     from linkgraph import textstats
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return textstats.fingerprints(docs)
+    return textstats.fingerprints(docs).select_columns(["doc_id", "content_fp"])
 
 
 def _media_features(sf_dir: str):
+    """MediaFeatures over the closed-form planted media table
+    (``multimodal.synth_media_planted``): every dim and body byte is a
+    formula of media_id, so a generate_series DuckDB oracle recomputes the
+    full feature frame — the ``extraction_cc`` recipe."""
     import ray.data as rd
 
     from linkgraph import multimodal as mm
 
-    media = rd.from_arrow(mm.synth_media(500, seed=42))
-    return mm.media_features(media)
+    media = rd.from_arrow(mm.synth_media_planted(500))
+    out = mm.media_features(media)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("mean_val"),
+            "mean_val",
+            pc.round(t["mean_val"], ndigits=6),
+        ).set_column(
+            t.schema.get_field_index("std_val"),
+            "std_val",
+            pc.round(t["std_val"], ndigits=6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -508,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph kernels at derived-graph scale (rows-only; NumPy-oracled in tests/)
         "cc_labels": _cc_labels,
         "cc_component_sizes": _cc_sizes,
+        # exhaustive-regime sampler on the membership graph (DuckDB-oracled)
         "cc_frequent_label": _cc_frequent_label,
         "labelprop_labels": _labelprop,
         "pagerank_top100": _pagerank_top100,
@@ -1146,5 +1175,86 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e2
             WHERE e2.vec_id <> 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        # exact mode of the membership-graph component labels: the engine's
+        # seeded sampler runs in its exhaustive regime (frac capped at 1.0),
+        # where estimate == exact mode (knn_ivf exhaustive-probe convention)
+        "cc_frequent_label": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            ),
+            labels AS (SELECT v, min(r) AS label FROM reach GROUP BY v),
+            tot AS (SELECT count(*) AS n FROM labels),
+            top AS (
+              SELECT label, count(*) AS c FROM labels
+              GROUP BY label ORDER BY c DESC, label LIMIT 1
+            )
+            SELECT CAST(top.label AS BIGINT) AS label,
+                   round(CAST(top.c AS DOUBLE) / tot.n, 6) AS est_frequency
+            FROM top, tot
+        """,
+        # whole-document md5-60bit fingerprint, recomputed verbatim by DuckDB
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                       AS content_fp
+            FROM documents
+        """,
+        # closed-form planted media (multimodal.synth_media_planted): dims,
+        # n_bytes and every body byte are formulas of media_id; mean/std use
+        # exact integer moments, matching the engine's contract bit-for-bit
+        "media_features": """
+            WITH ids AS (
+              SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, 499) t(i)
+            ),
+            dims AS (
+              SELECT i,
+                CASE WHEN i % 7 = 6 THEN 'video'
+                     WHEN i % 3 = 2 THEN 'audio'
+                     ELSE 'image' END AS kind,
+                CASE WHEN i % 7 = 6
+                       THEN (4 + i % 12) * (4 + i % 9) * (4 + (i * 3) % 9)
+                     WHEN i % 3 = 2 THEN 100 + i % 900
+                     ELSE (4 + i % 29) * (4 + (i * 5) % 27) END AS npix,
+                CASE WHEN i % 7 = 6 THEN 4 + i % 9
+                     WHEN i % 3 = 2 THEN 0
+                     ELSE 4 + i % 29 END AS width,
+                CASE WHEN i % 7 = 6 THEN 4 + (i * 3) % 9
+                     WHEN i % 3 = 2 THEN 0
+                     ELSE 4 + (i * 5) % 27 END AS height,
+                CASE WHEN i % 7 = 6 THEN 14
+                     WHEN i % 3 = 2 THEN 16
+                     ELSE 12 END AS hdr
+              FROM ids
+            ),
+            px AS (
+              SELECT d.i, ((d.i * 31 + s.j * 17) % 256) AS v
+              FROM dims d JOIN generate_series(0, 2159) s(j) ON s.j < d.npix
+            ),
+            agg AS (
+              SELECT i,
+                     CAST(sum(v) AS DOUBLE) / count(*) AS m,
+                     CAST(sum(v * v) AS DOUBLE) / count(*) AS m2
+              FROM px GROUP BY i
+            )
+            SELECT d.i AS media_id, d.kind,
+                   CAST(d.hdr + d.npix AS BIGINT) AS n_bytes,
+                   CAST(d.width AS BIGINT) AS width,
+                   CAST(d.height AS BIGINT) AS height,
+                   round(a.m, 6) AS mean_val,
+                   round(sqrt(greatest(a.m2 - a.m * a.m, 0.0)), 6) AS std_val
+            FROM dims d JOIN agg a ON a.i = d.i
         """,
     }

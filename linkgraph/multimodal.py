@@ -89,6 +89,57 @@ def synth_media(n: int, seed: int = 0) -> pa.Table:
     )
 
 
+def synth_media_planted(n: int) -> pa.Table:
+    """Closed-form fake media table for VALUE-CHECKED driver oracles.
+
+    Unlike ``synth_media`` (rng payloads), every dimension and body byte is
+    a closed form of ``media_id`` that a SQL oracle can recompute with
+    ``generate_series`` (the ``extraction_cc`` recipe):
+
+    - kind: video if i%7==6, else audio if i%3==2, else image
+    - video: f=4+i%12, w=4+i%9, h=4+(i*3)%9
+    - audio: sr=8000, ns=100+i%900
+    - image: w=4+i%29, h=4+(i*5)%27
+    - body byte j (flattened): (i*31 + j*17) % 256
+    """
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n):
+        if i % 7 == 6:
+            f, w, h = 4 + i % 12, 4 + i % 9, 4 + (i * 3) % 9
+            npix = f * w * h
+            hdr = (
+                b"FAKEVID1"
+                + f.to_bytes(2, "little")
+                + w.to_bytes(2, "little")
+                + h.to_bytes(2, "little")
+            )
+            kinds.append("video")
+            metas.append(json.dumps({"n_frames": f, "width": w, "height": h}))
+        elif i % 3 == 2:
+            ns = 100 + i % 900
+            npix = ns
+            hdr = b"FAKEAUD1" + (8000).to_bytes(4, "little") + ns.to_bytes(4, "little")
+            kinds.append("audio")
+            metas.append(json.dumps({"sample_rate": 8000, "n_samples": ns}))
+        else:
+            w, h = 4 + i % 29, 4 + (i * 5) % 27
+            npix = w * h
+            hdr = b"FAKEIMG1" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            kinds.append("image")
+            metas.append(json.dumps({"width": w, "height": h}))
+        body = ((i * 31 + np.arange(npix, dtype=np.int64) * 17) % 256).astype(np.uint8)
+        payloads.append(hdr + body.tobytes())
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )
+
+
 def _decode(payload: bytes):
     """Decode one payload → (kind, array, meta).  STUB for real formats."""
     if payload.startswith(b"FAKEIMG1"):
@@ -147,8 +198,19 @@ class MediaFeatures:
             feats["n_bytes"].append(len(payload))
             feats["width"].append(meta.get("width", 0))
             feats["height"].append(meta.get("height", 0))
-            feats["mean_val"].append(float(arr.mean()) if arr.size else 0.0)
-            feats["std_val"].append(float(arr.std()) if arr.size else 0.0)
+            # exact integer moments (uint8 sums are exact in int64/float64),
+            # then one float divide + sqrt — bit-deterministic at any batch
+            # split AND algebraically identical to the SQL oracle's
+            # sqrt(avg(v*v) - avg(v)^2), the repo-wide fixed-point contract
+            if arr.size:
+                flat = arr.reshape(-1).astype(np.int64)
+                m = float(int(flat.sum())) / flat.size
+                m2 = float(int((flat * flat).sum())) / flat.size
+                feats["mean_val"].append(m)
+                feats["std_val"].append(float(np.sqrt(max(m2 - m * m, 0.0))))
+            else:
+                feats["mean_val"].append(0.0)
+                feats["std_val"].append(0.0)
         return pa.table(
             {
                 "media_id": pa.array(feats["media_id"], pa.int64()),

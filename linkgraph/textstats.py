@@ -352,18 +352,29 @@ def token_stats(
 def fingerprints(
     ds: rd.Dataset, *, k: int = 9, window: int = 16, n_keep: int = 8
 ) -> rd.Dataset:
-    """(doc_id, fp list<int64>) k-min content sketch over k-gram hashes.
+    """(doc_id, fp list<int64>, content_fp int64) k-min content sketch.
 
     The ``n_keep`` smallest distinct k-gram hashes per document — a compact,
     order-independent content sketch usable for copy detection (shared fp →
     candidate pair, resolvable with the same star-pair + CC machinery as
     dedup.py).  ``window`` is reserved for a winnowing variant.
     """
+    import hashlib
+
     from linkgraph.dedup import _char_shingles
 
     def fp_block(t: pa.Table) -> pa.Table:
         out = []
-        for s in t["text"].to_pylist():
+        content_fp = np.empty(len(t), dtype=np.int64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            # content_fp: the first 60 bits of md5(text) — a SQL-recomputable
+            # whole-document fingerprint (DuckDB: CAST('0x'||substr(md5(text),
+            # 1,15) AS BIGINT)) that value-checks the text→fingerprint read
+            # path in the driver oracle; the k-min sketch itself is
+            # engine-internal xxhash and stays property-tested in pytest.
+            content_fp[i] = int(
+                hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16
+            )
             h = _char_shingles(s, k)  # sorted unique uint64
             if len(h) == 0:
                 out.append(np.zeros(n_keep, dtype=np.int64))
@@ -376,6 +387,7 @@ def fingerprints(
             {
                 "doc_id": t["doc_id"],
                 "fp": pa.array([list(map(int, o)) for o in out], pa.list_(pa.int64(), n_keep)),
+                "content_fp": pa.array(content_fp),
             }
         )
 
