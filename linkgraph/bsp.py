@@ -75,6 +75,16 @@ import ray.data as rd
 # emit side was already hub-safe (emits split by owner range and
 # pre-combine per target, so an owner receives ≤ #sub-blocks pre-reduced
 # partials per superstep).
+#
+# COMPACT OUTPUT: exchange output blocks keep the hop-1 int32 compaction
+# (a range whose ids fit int32 stays int32; ranges straddling 2^31 stay
+# int64; a graph can mix both across ranges).  This halves the exchange's
+# LARGEST transfer — the merge output is written once and read by two prep
+# consumers — and removes the old int64 re-cast pass in the merge.
+# Consumer contract: treat block column dtypes as opaque numpy (all the
+# kernels' per-block math is dtype-generic) and normalize to int64 at the
+# OUTPUT boundary — small arrays only: group vids, emit targets, the
+# vertex-id vector, recovered pair tables, final label/rank tables.
 # ---------------------------------------------------------------------------
 
 # Default sub-split threshold: 64 M rows ≈ 1 GB of (src, dst) pairs per
@@ -262,11 +272,21 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
             keep[1:] |= a[1:] != a[:-1]
         cols = {n: a[keep] for n, a in cols.items()}
         d = cols["dst"]
-        out = _table_of(cols, schema)
+        out = _table_raw(cols)
     else:
-        # non-dedup path only needs dst for the unique count; cast back to
-        # the declared schema so consumers never see a compact dtype
-        out = t.cast(schema) if t.schema != schema else t
+        out = t
+    # COMPACT-OUTPUT CONTRACT: merged blocks keep whatever dtype the hop-1
+    # compaction left (int32 when the range's ids fit, int64 otherwise) —
+    # the int64 re-cast here used to double the bytes of the exchange's
+    # LARGEST transfer (merge output → object store → 2 consumer reads).
+    # Every consumer treats block dtypes as opaque numpy and normalizes at
+    # its own OUTPUT boundary (see the HUB SKEW/COMPACT notes up top).
+    # GRAFT_EXCHANGE_INT64_OUT=1 restores the old cast — the A/B switch for
+    # in-situ interleaved measurement (and an escape hatch).
+    import os
+
+    if os.environ.get("GRAFT_EXCHANGE_INT64_OUT") == "1":
+        out = out.cast(schema) if out.schema != schema else out
     nuniq = 1 + int((d[1:] != d[:-1]).sum())
     return out, int(len(d)), nuniq, int(d[0]), int(d[-1])
 
@@ -275,12 +295,13 @@ def _merge_range_task(dedup_sort_src: bool, schema: pa.Schema, *chunks):
 def _slice_block_task(block, cuts: np.ndarray, schema: pa.Schema) -> list:
     """Row-slice one oversized dst-sorted block into bounded sub-blocks
     (call with ``num_returns=len(cuts)+1``).  Sub-blocks are rebuilt from
-    numpy slices so a pickled slice doesn't carry the parent buffer."""
+    numpy slices so a pickled slice doesn't carry the parent buffer;
+    dtypes stay as they arrived (compact-output contract)."""
     cols = _cols_of(block, schema)
     n = len(cols["dst"])
     bpts = np.concatenate([[0], cuts, [n]])
     return [
-        _table_of({nm: a[bpts[i] : bpts[i + 1]] for nm, a in cols.items()}, schema)
+        _table_raw({nm: a[bpts[i] : bpts[i + 1]] for nm, a in cols.items()})
         for i in range(len(bpts) - 1)
     ]
 
@@ -642,7 +663,9 @@ def vertex_ids(
     )
     if extra:
         ids = np.unique(np.concatenate([ids] + list(extra)))
-    return ids
+    # per-block uniques may be int32 (compact-output contract); the id
+    # vector is the positional-index reference — normalize to int64
+    return ids.astype(np.int64, copy=False)
 
 
 @ray.remote(num_cpus=1)
@@ -730,7 +753,9 @@ def group_vertices(*blocks):
     change[0] = True
     np.not_equal(v[1:], v[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    vids = v[starts]
+    # vids seed label shards and answer searchsorted lookups — normalize to
+    # int64 here (compact-output contract; blocks may be int32)
+    vids = v[starts].astype(np.int64, copy=False)
     deg = np.add.reduceat(c, starts)
     return (vids, deg), (int(len(vids)), int(vids[0]))
 
@@ -777,7 +802,9 @@ def sub_emit_prep(block, gv, presorted: bool = True, whole_group: bool = False):
     tchange[0] = True
     np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
     tgt_starts = np.flatnonzero(tchange).astype(np.int32)
-    return (tgt[tgt_starts], tgt_starts, i_local)
+    # emit targets route through owner-range searchsorted → int64 (compact-
+    # output contract; the unique-target array is far smaller than the rows)
+    return (tgt[tgt_starts].astype(np.int64, copy=False), tgt_starts, i_local)
 
 
 def _owner_split(sorted_vals: np.ndarray, payload, firsts: np.ndarray) -> list:

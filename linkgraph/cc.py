@@ -277,8 +277,10 @@ def _local_finish(
     t0 = time.perf_counter()
     us, ds_ = [], []
     for b in pairs.iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
-        us.append(b["src"].to_numpy(zero_copy_only=False))
-        ds_.append(b["dst"].to_numpy(zero_copy_only=False))
+        # blocks may arrive int32-compacted from the fused exchange (bsp
+        # compact-output contract); the output label tables must be int64
+        us.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        ds_.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
     u = np.concatenate(us) if us else np.empty(0, np.int64)
     v = np.concatenate(ds_) if ds_ else np.empty(0, np.int64)
     ids = np.unique(np.concatenate([u, v]))
@@ -630,13 +632,22 @@ def _attach_explicit_vertices(
 
 
 def _keep_lo(t: pa.Table) -> pa.Table:
-    """Recover oriented pairs (src <= dst rows) from a symmetrized table."""
+    """Recover oriented pairs (src <= dst rows) from a symmetrized table.
+
+    Normalizes to int64 — exchange blocks may be int32-compacted (bsp
+    compact-output contract) and the recovered pairs feed the star path
+    and checkpoint Parquet, whose schema must be stable across runs."""
     if t.num_columns == 0 or len(t) == 0:
         return _EMPTY_EDGES
     s = t["src"].to_numpy(zero_copy_only=False)
     d = t["dst"].to_numpy(zero_copy_only=False)
     keep = s <= d
-    return pa.table({"src": s[keep], "dst": d[keep]})
+    return pa.table(
+        {
+            "src": s[keep].astype(np.int64, copy=False),
+            "dst": d[keep].astype(np.int64, copy=False),
+        }
+    )
 
 
 def _strip_markers(t: pa.Table) -> pa.Table:

@@ -98,7 +98,10 @@ def _deg_dst_task(block):
     change[0] = True
     change[1:] = d[1:] != d[:-1]
     starts = np.flatnonzero(change)
-    return d[starts], np.diff(np.append(starts, len(d)))
+    # blocks may be int32-compacted (bsp compact-output contract)
+    return d[starts].astype(np.int64, copy=False), np.diff(
+        np.append(starts, len(d))
+    )
 
 
 @ray.remote(num_cpus=1, num_returns=2)
@@ -136,7 +139,8 @@ def _pr_group_prep(*blocks):
     change[0] = True
     np.not_equal(v[1:], v[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    vids = v[starts]
+    # int64 state vids (bsp compact-output contract; blocks may be int32)
+    vids = v[starts].astype(np.int64, copy=False)
     deg = np.add.reduceat(c, starts)
     return (vids, 1.0 / deg, np.empty(0, np.int64)), (
         int(len(vids)),
@@ -374,7 +378,8 @@ def _pr_dir_group_prep(*blocks):
     change[0] = True
     np.not_equal(v[1:], v[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    vids = v[starts]
+    # int64 state vids (bsp compact-output contract; blocks may be int32)
+    vids = v[starts].astype(np.int64, copy=False)
     outdeg = np.add.reduceat(c, starts).astype(np.float64)
     dangling_idx = np.flatnonzero(outdeg == 0)
     inv_out = np.zeros(len(vids))
@@ -415,7 +420,8 @@ def _dir_sub_prep(block, gprep, whole_group: bool = False):
     tchange[0] = True
     np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
     tgt_starts = np.flatnonzero(tchange).astype(np.int32)
-    return (tgt[tgt_starts], tgt_starts, i_local)
+    # int64 emit targets (bsp compact-output contract)
+    return (tgt[tgt_starts].astype(np.int64, copy=False), tgt_starts, i_local)
 
 
 @ray.remote(num_cpus=1)

@@ -58,7 +58,9 @@ def _deg_request(block, firsts: np.ndarray):
     if block.num_columns == 0 or len(block) == 0:
         return [np.empty(0, np.int64)] * k + [np.empty(0, np.int32)]
     s = block["src"].to_numpy(zero_copy_only=False)
+    # int64 request ids (bsp compact-output contract; blocks may be int32)
     uniq, inv = np.unique(s, return_inverse=True)
+    uniq = uniq.astype(np.int64, copy=False)
     outs = bsp._owner_split(uniq, np.empty(0), firsts)
     return [o[0] for o in outs] + [inv.astype(np.int32)]
 

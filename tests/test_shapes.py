@@ -146,6 +146,84 @@ def test_triangles_modes_on_shapes(shape, mode):
     ), (shape, mode)
 
 
+def int32_straddle_graph(n=40) -> pa.Table:
+    """Triangle fan + chain whose ids sit on BOTH sides of 2^31: some
+    exchange ranges int32-compact, others must stay int64, and hot-path
+    concatenations mix the two dtypes (the bsp compact-output contract's
+    adversarial case)."""
+    lo = np.arange(n, dtype=np.int64) * 3
+    hi = (np.int64(1) << 31) + 7 + np.arange(n, dtype=np.int64) * 5
+    v = np.empty(2 * n, dtype=np.int64)
+    v[0::2] = lo
+    v[1::2] = hi
+    chain = pa.table({"src": v[:-1], "dst": v[1:]})
+    # one triangle on each side of the 2^31 boundary and one straddling it
+    tri = pa.table(
+        {
+            "src": np.array([0, 3, 0, int(hi[0]), int(hi[1]), int(hi[0]), 0, 0],
+                            dtype=np.int64),
+            "dst": np.array([3, 6, 6, int(hi[1]), int(hi[2]), int(hi[2]),
+                             int(hi[0]), int(hi[1])], dtype=np.int64),
+        }
+    )
+    return pa.concat_tables([chain, tri])
+
+
+@pytest.mark.parametrize("mode", ["shuffle", "broadcast", "sharded"])
+def test_cc_modes_on_int32_straddling_ids(mode):
+    t = int32_straddle_graph()
+    res = connected_components(
+        G.from_arrow_edges(t), num_partitions=4, mode=mode,
+        local_finish_threshold=0,
+    )
+    labs = res.labels.take_all()
+    verts = {int(r["vertex"]) for r in labs}
+    assert verts == set(
+        np.unique(np.concatenate([t["src"].to_numpy(), t["dst"].to_numpy()])).tolist()
+    )
+    assert res.num_components == 1
+    assert all(int(r["label"]) == 0 for r in labs), mode
+    # internal compaction must never leak: output schema stays int64
+    sch = res.labels.schema()
+    assert dict(zip(sch.names, sch.types))["vertex"] == pa.int64()
+    assert dict(zip(sch.names, sch.types))["label"] == pa.int64()
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_pagerank_on_int32_straddling_ids(mode):
+    t = int32_straddle_graph()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    touched = np.sort(np.unique(np.concatenate([src, dst])))
+    remap = {int(v): i for i, v in enumerate(touched)}
+    sc = np.array([remap[int(v)] for v in src])
+    dc = np.array([remap[int(v)] for v in dst])
+    exp = oracle.pagerank(
+        np.concatenate([sc, dc]), np.concatenate([dc, sc]), len(touched)
+    )
+    res = pagerank(
+        G.from_arrow_edges(t), directed=False, num_partitions=4,
+        tol=1e-12, mode=mode,
+    )
+    got_map = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    got = np.array([got_map[int(v)] for v in touched])
+    assert np.allclose(got, exp, atol=1e-6), mode
+
+
+@pytest.mark.parametrize("mode", ["bsp", "dataflow"])
+def test_triangles_on_int32_straddling_ids(mode):
+    t = int32_straddle_graph()
+    exp = oracle.triangle_count(t["src"].to_numpy(), t["dst"].to_numpy())
+    assert exp >= 3  # triangles on both sides of 2^31 and straddling it
+    assert triangle_count(G.from_arrow_edges(t), num_partitions=4, mode=mode) == exp
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "sharded"])
+def test_labelprop_on_int32_straddling_ids(mode):
+    t = int32_straddle_graph()
+    res = label_propagation(G.from_arrow_edges(t), num_partitions=4, mode=mode)
+    assert all(int(r["label"]) == 0 for r in res.labels.take_all()), mode
+
+
 def test_asof_join_semantics():
     import numpy as np
     import pandas as pd
