@@ -105,6 +105,44 @@ def _pagerank_top100(sf_dir: str):
     )
 
 
+def _weighted_pagerank_fixed4(sf_dir: str):
+    """Top-100 WEIGHTED PageRank on the order↔part graph with w=l_quantity,
+    EXACTLY 4 supersteps, scores rounded to 6 dp — value-checked against an
+    unrolled 4-step weighted SQL oracle.  Parallel (order, part) rows keep
+    their own weights on both sides (additive semantics, no dedup)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from linkgraph.pagerank import weighted_pagerank
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["l_orderkey"].cast(pa.int64()),
+                "dst": pc.add(t["l_partkey"].cast(pa.int64()), 1_000_000_000),
+                "w": t["l_quantity"].cast(pa.float64()),
+            }
+        )
+
+    res = weighted_pagerank(
+        li.map_batches(prep, batch_format="pyarrow"), tol=0.0, max_iters=4
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"vertex": t["vertex"], "score": pc.round(t["rank"], 6)})
+
+    return (
+        res.ranks.map_batches(fin, batch_format="pyarrow")
+        .sort(["score", "vertex"], descending=[True, False])
+        .limit(100)
+    )
+
+
 def _triangles(sf_dir: str):
     import ray.data as rd
 
@@ -540,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_frequent_label": _cc_frequent_label,
         "labelprop_labels": _labelprop,
         "pagerank_top100": _pagerank_top100,
+        "weighted_pagerank_top100": _weighted_pagerank_fixed4,
         "triangle_count": _triangles,
         "triangle_count_bsp": _triangles_bsp,
         "extraction_cc": _extraction_cc,
@@ -883,6 +922,61 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank < 10
         """,
         "pagerank_top100": _PR4_LINEITEM,
+        # weighted variant: NO DISTINCT (parallel rows additive), W = sum of
+        # incident l_quantity, contribution r*w/W — unrolled 4 supersteps
+        "weighted_pagerank_top100": """
+            WITH e0 AS (
+              SELECT CAST(l_orderkey AS BIGINT) AS src,
+                     CAST(l_partkey + 1000000000 AS BIGINT) AS dst,
+                     CAST(l_quantity AS DOUBLE) AS w
+              FROM lineitem
+            ),
+            sym AS (
+              SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+            ),
+            wdeg AS (SELECT src AS v, sum(w) AS wt FROM sym GROUP BY src),
+            nv AS (SELECT count(*) AS n FROM wdeg),
+            r0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM wdeg),
+            r1 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r * s.w / wg.wt) AS r
+              FROM sym s
+              JOIN r0 p ON p.v = s.src JOIN wdeg wg ON wg.v = s.src
+              JOIN wdeg t ON t.v = s.dst
+              GROUP BY t.v
+            ),
+            r2 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r * s.w / wg.wt) AS r
+              FROM sym s
+              JOIN r1 p ON p.v = s.src JOIN wdeg wg ON wg.v = s.src
+              JOIN wdeg t ON t.v = s.dst
+              GROUP BY t.v
+            ),
+            r3 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r * s.w / wg.wt) AS r
+              FROM sym s
+              JOIN r2 p ON p.v = s.src JOIN wdeg wg ON wg.v = s.src
+              JOIN wdeg t ON t.v = s.dst
+              GROUP BY t.v
+            ),
+            r4 AS (
+              SELECT t.v AS v,
+                     (1.0 - 0.85) / (SELECT n FROM nv)
+                       + 0.85 * sum(p.r * s.w / wg.wt) AS r
+              FROM sym s
+              JOIN r3 p ON p.v = s.src JOIN wdeg wg ON wg.v = s.src
+              JOIN wdeg t ON t.v = s.dst
+              GROUP BY t.v
+            )
+            SELECT v AS vertex, round(r, 6) AS score FROM r4
+            ORDER BY score DESC, vertex LIMIT 100
+        """,
         "cc_membership": """
             WITH RECURSIVE e AS (
               SELECT CAST(c_custkey AS BIGINT) AS src,

@@ -83,6 +83,39 @@ def pagerank(
     return r
 
 
+def weighted_pagerank(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    num_vertices: int,
+    damping: float = 0.85,
+    tol: float = 1e-12,
+    max_iters: int = 500,
+) -> np.ndarray:
+    """Dense weighted power iteration on DIRECTED rows (no dedup: parallel
+    rows are additive — the engine's ``weighted_pagerank`` semantics).
+    Self-loops removed.  A vertex with zero out-weight keeps only its
+    teleport mass (no dangling redistribution — matches the engine's
+    symmetrized-input regime where the case cannot occur)."""
+    keep = src != dst
+    s, d, ww = src[keep], dst[keep], np.asarray(w, dtype=np.float64)[keep]
+    W = np.zeros(num_vertices)
+    np.add.at(W, s, ww)
+    inv = np.zeros(num_vertices)
+    nz = W > 0
+    inv[nz] = 1.0 / W[nz]
+    r = np.full(num_vertices, 1.0 / num_vertices)
+    for _ in range(max_iters):
+        contrib = np.zeros(num_vertices)
+        np.add.at(contrib, d, r[s] * ww * inv[s])
+        r_new = (1 - damping) / num_vertices + damping * contrib
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        if delta < tol:
+            break
+    return r
+
+
 def triangle_count(src: np.ndarray, dst: np.ndarray) -> int:
     """Exact triangle count on the undirected simple graph of (src, dst)."""
     keep = src != dst

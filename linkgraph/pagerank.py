@@ -1156,3 +1156,211 @@ def _pagerank_broadcast(
 
     out = _vector_state_ds(ids, ranks, outdeg).select_columns(["vertex", "rank"])
     return PageRankResult(out.materialize(), num_v, iters, metrics)
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank (north-star extension)
+#
+# The reference's MTX reader parses an optional per-edge VALUE and discards
+# it (``src/mtx_reader.c:153-156`` — the graph is unweighted).  This kernel
+# is what that value would feed: r'(v) = (1-d)/N + d * Σ_{u~v} r(u)·w_uv/W_u
+# with W_u = Σ of u's incident weights.  Same one-exchange + sharded
+# emit/apply machinery as the unweighted BSP path; parallel edges are
+# ADDITIVE (their contributions sum in the emit reduceat), so the exchange
+# runs without dedup and no pre-aggregation shuffle is needed.
+# ---------------------------------------------------------------------------
+
+_W_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("w", pa.float64())])
+
+
+def _w_sym_batch(t: pa.Table) -> pa.Table:
+    """Drop self-loops + one-pass symmetrize, weights riding along.
+
+    No dedup anywhere in the weighted chain: parallel (u, v) rows are
+    semantically additive (each carries its own weight into W_u and into
+    u's emission), so multiplicity IS the data."""
+    if t.num_columns == 0 or len(t) == 0:
+        return _W_SCHEMA.empty_table()
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    keep = s != d
+    s, d, w = s[keep], d[keep], w[keep]
+    return pa.table(
+        {
+            "src": np.concatenate([s, d]),
+            "dst": np.concatenate([d, s]),
+            "w": np.concatenate([w, w]),
+        }
+    )
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _w_group_prep(*blocks):
+    """One owner GROUP's dst-sorted sub-blocks → ``(vids, inv_W)`` +
+    ``(n, first)``.  W_v = sum of v's incident weights (post-symmetrize the
+    dst-grouped rows of v ARE its incident rows); hub sub-splits are
+    combined per vid exactly like the unweighted prep."""
+    vparts, wparts = [], []
+    for b in blocks:
+        if b.num_columns == 0 or len(b) == 0:
+            continue
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        vparts.append(d[starts])
+        wparts.append(np.add.reduceat(w, starts))
+    if not vparts:
+        return (np.empty(0, np.int64), np.empty(0, np.float64)), (0, 0)
+    v = np.concatenate(vparts)
+    ws = np.concatenate(wparts)
+    change = np.empty(len(v), dtype=bool)
+    change[0] = True
+    np.not_equal(v[1:], v[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    # int64 state vids (bsp compact-output contract; blocks may be int32)
+    vids = v[starts].astype(np.int64, copy=False)
+    W = np.add.reduceat(ws, starts)
+    inv = np.zeros(len(W))
+    nz = W > 0
+    inv[nz] = 1.0 / W[nz]
+    return (vids, inv), (int(len(vids)), int(vids[0]))
+
+
+@ray.remote(num_cpus=1)
+def _w_sub_prep(block, gprep, whole_group: bool = False):
+    """One weighted sub-block → static emission index: rows re-read as
+    dst→src pushes, per-row factor ``wfac = w · inv_W[dst]`` precomputed
+    once so each superstep's emit is a pure gather-multiply-reduceat."""
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int32),
+        np.empty(0, np.int32),
+        np.empty(0, np.float64),
+    )
+    if block.num_columns == 0 or len(block) == 0:
+        return empty
+    s = block["src"].to_numpy(zero_copy_only=False)
+    d = block["dst"].to_numpy(zero_copy_only=False)
+    w = block["w"].to_numpy(zero_copy_only=False)
+    if whole_group:
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        np.not_equal(d[1:], d[:-1], out=change[1:])
+        i_local = (np.cumsum(change) - 1).astype(np.int32)
+    else:
+        i_local = np.searchsorted(gprep[0], d).astype(np.int32)
+    wfac = w * gprep[1][i_local]
+    order = np.argsort(s, kind="stable")
+    tgt = s[order]
+    i_local = i_local[order]
+    wfac = wfac[order]
+    tchange = np.empty(len(tgt), dtype=bool)
+    tchange[0] = True
+    np.not_equal(tgt[1:], tgt[:-1], out=tchange[1:])
+    tgt_starts = np.flatnonzero(tchange).astype(np.int32)
+    # int64 emit targets (bsp compact-output contract)
+    return (tgt[tgt_starts].astype(np.int64, copy=False), tgt_starts, i_local, wfac)
+
+
+@ray.remote(num_cpus=1)
+def _w_emit(sub, rank_vec, firsts):
+    """One weighted superstep emit for one sub-block (``num_returns=K``)."""
+    tgt_unique, tgt_starts, i_local, wfac = sub
+    k = len(firsts)
+    if len(tgt_unique) == 0:
+        outs = [(np.empty(0, np.int64), np.empty(0, np.float64))] * k
+        return outs if k > 1 else outs
+    c = rank_vec[i_local] * wfac
+    partial = np.add.reduceat(c, tgt_starts)
+    return bsp._owner_split(tgt_unique, partial, firsts)
+
+
+def weighted_pagerank(
+    edges: rd.Dataset,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 100,
+) -> PageRankResult:
+    """Undirected weighted PageRank over an (src, dst, w) edge Dataset.
+
+    ``tol=0`` runs exactly ``max_iters`` supersteps (the fixed-iteration
+    oracle convention).  Weights must be ≥ 0; a vertex whose incident
+    weights sum to 0 emits nothing (keeps its teleport mass).  Parallel
+    edges are additive.  Runs the sharded BSP path at every size — state
+    in the object store, one emit + apply task round per superstep."""
+    from linkgraph.runtime import tune_context
+
+    tune_context()
+    metrics: list[dict[str, Any]] = []
+    t0 = time.perf_counter()
+    groups, _n_rows, _n_vert = bsp.raw_map_dst_exchange(
+        edges, _w_sym_batch, dedup_sort_src=False, schema=_W_SCHEMA, grouped=True
+    )
+    gps = [_w_group_prep.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gps])
+    keep = [i for i, (n, _) in enumerate(metas) if n > 0]
+    gpreps = [gps[i][0] for i in keep]
+    counts = [metas[i][0] for i in keep]
+    firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
+    num_v = int(sum(counts))
+    k = len(gpreps)
+    if k == 0:
+        empty = rd.from_arrow(
+            pa.table(
+                {"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+            )
+        )
+        return PageRankResult(empty, 0, 0, metrics)
+    sub_owner: list[int] = []
+    subs: list = []
+    for gi, i in enumerate(keep):
+        for b in groups[i]:
+            sub_owner.append(gi)
+            subs.append(_w_sub_prep.remote(b, gps[i][0], len(groups[i]) == 1))
+    firsts_ref = ray.put(firsts)
+    ranks = [_bsp_full_vec.remote(n, 1.0 / num_v) for n in counts]
+    metrics.append(
+        {"phase": "weighted_prep", "num_vertices": num_v, "num_groups": k,
+         "num_subblocks": len(subs), "wall_s": time.perf_counter() - t0}
+    )
+    teleport = (1.0 - damping) / num_v
+    iters = 0
+    for it in range(1, max_iters + 1):
+        t1 = time.perf_counter()
+        emits = [
+            _w_emit.options(num_returns=k).remote(
+                subs[e], ranks[sub_owner[e]], firsts_ref
+            )
+            for e in range(len(subs))
+        ]
+        if k == 1:
+            emits = [[e] for e in emits]
+        outs = [
+            _bsp_shuffle_apply.remote(
+                gpreps[j], ranks[j], teleport, damping,
+                *[emits[e][j] for e in range(len(subs))]
+            )
+            for j in range(k)
+        ]
+        ranks = [o[0] for o in outs]
+        delta = float(sum(ray.get([o[1] for o in outs])))
+        iters += 1
+        metrics.append(
+            {"iteration": it, "l1_delta": delta, "mode": "weighted_bsp",
+             "wall_s": time.perf_counter() - t1}
+        )
+        if tol > 0 and delta < tol:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(f"weighted pagerank exceeded {max_iters} iterations")
+
+    tables = [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)]
+    return PageRankResult(
+        rd.from_arrow_refs(tables).materialize(), num_v, iters, metrics
+    )

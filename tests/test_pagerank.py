@@ -206,3 +206,118 @@ def test_pagerank_multigraph_duplicates_and_loops_collapse():
     exp = oracle.pagerank(clean_s, clean_d, 4)
     got = ranks_vec(res.ranks, 4)
     assert np.allclose(got, exp, atol=1e-6)
+
+
+# --- weighted PageRank (north-star extension) --------------------------------
+
+def _wpr_oracle_undirected(t, tol=1e-12):
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    w = t["w"].to_numpy()
+    touched = np.sort(np.unique(np.concatenate([src, dst])))
+    remap = {int(v): i for i, v in enumerate(touched)}
+    sc = np.array([remap[int(v)] for v in src])
+    dc = np.array([remap[int(v)] for v in dst])
+    exp = oracle.weighted_pagerank(
+        np.concatenate([sc, dc]),
+        np.concatenate([dc, sc]),
+        np.concatenate([w, w]),
+        len(touched),
+        tol=tol,
+    )
+    return touched, exp
+
+
+def test_weighted_pagerank_matches_oracle():
+    from linkgraph.pagerank import weighted_pagerank
+
+    rng = np.random.default_rng(5)
+    n_e, n_v = 400, 60
+    t = pa.table(
+        {
+            "src": rng.integers(0, n_v, n_e).astype(np.int64),
+            "dst": rng.integers(0, n_v, n_e).astype(np.int64),
+            "w": rng.uniform(0.5, 5.0, n_e),
+        }
+    )
+    touched, exp = _wpr_oracle_undirected(t)
+    res = weighted_pagerank(rd.from_arrow(t).repartition(4), tol=1e-12)
+    got_map = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    got = np.array([got_map[int(v)] for v in touched])
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_weighted_pagerank_equal_weights_match_unweighted():
+    from linkgraph.pagerank import weighted_pagerank
+
+    rng = np.random.default_rng(11)
+    n_e, n_v = 300, 50
+    s = rng.integers(0, n_v, n_e).astype(np.int64)
+    d = rng.integers(0, n_v, n_e).astype(np.int64)
+    # dedup pairs so equal-weight == unweighted (which dedups parallel edges)
+    keep = s != d
+    pairs = np.unique(np.stack([np.minimum(s[keep], d[keep]),
+                                np.maximum(s[keep], d[keep])], axis=1), axis=0)
+    t = pa.table(
+        {"src": pairs[:, 0], "dst": pairs[:, 1],
+         "w": np.ones(len(pairs), dtype=np.float64)}
+    )
+    from linkgraph.pagerank import weighted_pagerank
+
+    wres = weighted_pagerank(rd.from_arrow(t).repartition(4), tol=1e-12)
+    ures = pagerank(
+        rd.from_arrow(t.select(["src", "dst"])).repartition(4),
+        directed=False, num_partitions=4, tol=1e-12,
+    )
+    wm = {r["vertex"]: r["rank"] for r in wres.ranks.take_all()}
+    um = {r["vertex"]: r["rank"] for r in ures.ranks.take_all()}
+    assert set(wm) == set(um)
+    for v in wm:
+        assert abs(wm[v] - um[v]) < 1e-9, v
+
+
+def test_weighted_pagerank_parallel_edges_are_additive():
+    from linkgraph.pagerank import weighted_pagerank
+
+    once = pa.table(
+        {"src": np.array([0, 1], dtype=np.int64),
+         "dst": np.array([1, 2], dtype=np.int64),
+         "w": np.array([4.0, 1.0])}
+    )
+    twice = pa.table(
+        {"src": np.array([0, 0, 1], dtype=np.int64),
+         "dst": np.array([1, 1, 2], dtype=np.int64),
+         "w": np.array([2.0, 2.0, 1.0])}
+    )
+    a = weighted_pagerank(rd.from_arrow(once).repartition(2), tol=1e-12, max_iters=300)
+    b = weighted_pagerank(rd.from_arrow(twice).repartition(2), tol=1e-12, max_iters=300)
+    am = {r["vertex"]: r["rank"] for r in a.ranks.take_all()}
+    bm = {r["vertex"]: r["rank"] for r in b.ranks.take_all()}
+    assert set(am) == set(bm)
+    for v in am:
+        assert abs(am[v] - bm[v]) < 1e-9, v
+
+
+def test_weighted_pagerank_skew_and_straddle():
+    """Hub skew + ids on both sides of 2^31 through the weighted path."""
+    from linkgraph.pagerank import weighted_pagerank
+
+    rng = np.random.default_rng(3)
+    hub = (np.int64(1) << 31) + 9
+    n = 200
+    leaves = np.arange(n, dtype=np.int64) * 7
+    t = pa.table(
+        {
+            "src": np.concatenate([leaves, leaves[: n // 2]]),
+            "dst": np.concatenate(
+                [np.full(n, hub, dtype=np.int64), leaves[n // 2 :]]
+            ),
+            "w": rng.uniform(0.5, 3.0, n + n // 2),
+        }
+    )
+    touched, exp = _wpr_oracle_undirected(t)
+    res = weighted_pagerank(rd.from_arrow(t).repartition(4), tol=1e-12)
+    got_map = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    got = np.array([got_map[int(v)] for v in touched])
+    assert np.allclose(got, exp, atol=1e-6)
