@@ -364,6 +364,19 @@ def _minhash_dedup(sf_dir: str):
     )
 
 
+def _winnow_copy_detect(sf_dir: str):
+    """Winnowing copy detection (MOSS local fingerprinting) on the
+    planted-duplicate table in the strict containment regime
+    (overlap coefficient 1.0) — cluster values oracled by the exact-text
+    SQL groups; the shared-substring guarantee and containment regime are
+    pytest-gated (tests/test_textstats.py)."""
+    from linkgraph import dedup
+
+    return dedup.winnow_copy_detect(
+        _planted_docs(sf_dir), threshold=1.0, num_partitions=8
+    )
+
+
 def _simhash_dedup(sf_dir: str):
     """SimHash dedup on the planted-duplicate table at Hamming distance 0 —
     cluster values oracled by the exact-text SQL groups; lenient distances
@@ -584,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_cc": _extraction_cc,
         # training-data operators (rows-only; property-tested in tests/)
         "minhash_dedup": _minhash_dedup,
+        "winnow_copy_detect": _winnow_copy_detect,
         "simhash_dedup": _simhash_dedup,
         "ngram_jaccard_dedup": _ngram_jaccard_dedup,
         "embedding_neardup": _embedding_neardup,
@@ -891,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, min(url) OVER (PARTITION BY c) AS root_url FROM urls
         """,
         "minhash_dedup": _PLANTED_TEXT_CLUSTERS,
+        "winnow_copy_detect": _PLANTED_TEXT_CLUSTERS,
         "simhash_dedup": _PLANTED_TEXT_CLUSTERS,
         "ngram_jaccard_dedup": _PLANTED_TEXT_CLUSTERS,
         "embedding_neardup": """

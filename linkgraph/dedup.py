@@ -859,3 +859,130 @@ def ngram_jaccard_dedup(
     verified = both.map_batches(verify, batch_format="pyarrow")
     res = connected_components(verified, num_partitions=num_partitions)
     return _clusters_from_labels(res.labels, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# winnowing copy detection
+# ---------------------------------------------------------------------------
+
+def winnow_copy_detect(
+    ds: rd.Dataset,
+    *,
+    k: int = 9,
+    window: int = 16,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Copy clusters from LOCAL winnowing fingerprints: (doc_id, cluster_id).
+
+    Pipeline: ``textstats.winnow_fingerprints`` (one selected minimum per
+    ``window`` of position-ordered k-gram hashes — the MOSS guarantee: any
+    shared substring of length ≥ window + k - 1 shares a fingerprint) →
+    explode to (fp, doc_id) rows → per-fp-bucket STAR candidate pairs
+    (linear, the LSH-bucket machinery) → verification by fingerprint
+    OVERLAP COEFFICIENT |A∩B| / min(|A|, |B|) ≥ ``threshold`` → connected
+    components → clusters (cluster_id = min doc id).  ``threshold=1.0`` is
+    the strict containment regime (every fingerprint of the smaller doc
+    appears in the larger — exact copies and full-containment only), the
+    value the planted driver oracle runs at."""
+    from linkgraph.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(ds, k=k, window=window).materialize()
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"band": z, "bh": z, "doc_id": z})
+        fp = t["fp"]
+        if isinstance(fp, pa.ChunkedArray):
+            fp = fp.combine_chunks()
+        counts = pc.list_value_length(fp).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        flat = fp.flatten()
+        return pa.table(
+            {
+                "band": np.zeros(len(did), dtype=np.int64),
+                "bh": flat,
+                "doc_id": did,
+            }
+        )
+
+    cand = _star_candidates(
+        fps.map_batches(fp_rows, batch_format="pyarrow"), num_partitions
+    )
+    cand = G.dedup_block(cand)
+
+    fp_payload = {"fp": pa.list_(pa.int64())}
+    with_a = bucket_join(
+        cand.map_batches(
+            lambda t: pa.table({"doc_id": t["src"], "other": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        fps,
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"other": pa.int64()},
+        right_payload=fp_payload,
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["doc_id"], "doc_id": t["other"], "fp_a": t["fp"]}
+        ),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        with_a,
+        fps.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "fp_b": t["fp"]}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        num_buckets=num_partitions,
+        left_payload={"a": pa.int64(), "fp_a": pa.list_(pa.int64())},
+        right_payload={"fp_b": pa.list_(pa.int64())},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+            )
+        import pyarrow.compute as pc
+
+        fa = t["fp_a"]
+        fb = t["fp_b"]
+        if isinstance(fa, pa.ChunkedArray):
+            fa = fa.combine_chunks()
+        if isinstance(fb, pa.ChunkedArray):
+            fb = fb.combine_chunks()
+        ca = pc.list_value_length(fa).to_numpy(zero_copy_only=False)
+        cb = pc.list_value_length(fb).to_numpy(zero_copy_only=False)
+        flat_a = fa.flatten().to_numpy(zero_copy_only=False)
+        flat_b = fb.flatten().to_numpy(zero_copy_only=False)
+        oa = np.concatenate([[0], np.cumsum(ca)])
+        ob = np.concatenate([[0], np.cumsum(cb)])
+        keep = np.zeros(len(t), dtype=bool)
+        # per-pair sorted intersect: fp lists are small (≈ 2·len/window
+        # values) and candidate pairs are bucket-limited, so the pair loop
+        # is off the hot path; the intersect itself is C-level
+        for i in range(len(t)):
+            a = flat_a[oa[i] : oa[i + 1]]
+            b = flat_b[ob[i] : ob[i + 1]]
+            m = min(len(a), len(b))
+            if m == 0:
+                continue
+            shared = len(np.intersect1d(a, b, assume_unique=True))
+            keep[i] = (shared / m) >= threshold
+        return pa.table(
+            {
+                "src": t["a"].to_numpy(zero_copy_only=False)[keep],
+                "dst": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    verified = both.map_batches(verify, batch_format="pyarrow")
+    res = connected_components(verified, num_partitions=num_partitions)
+    return _clusters_from_labels(res.labels, num_partitions)

@@ -394,3 +394,56 @@ def fingerprints(
     return ds.select_columns(["doc_id", "text"]).map_batches(
         fp_block, batch_format="pyarrow"
     )
+
+
+def winnow_fingerprints(
+    ds: rd.Dataset, *, k: int = 9, window: int = 16
+) -> rd.Dataset:
+    """(doc_id, fp list<int64>) LOCAL winnowing fingerprints.
+
+    Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    scheme): slide a ``window``-sized window over the POSITION-ORDERED
+    k-gram hashes and keep each window's minimum.  The local-selection
+    guarantee the k-min sketch in :func:`fingerprints` lacks: any shared
+    substring of length ≥ ``window + k - 1`` between two documents shares
+    at least one selected fingerprint, so bucketing by fingerprint finds
+    every such copy.  Output fps are the unique selected values (sorted,
+    63-bit int64) — engine-internal hashes, clustered downstream by
+    ``dedup.winnow_copy_detect``.
+
+    One flat rolling-FNV pass per batch (``dedup._flat_shingle_hashes``);
+    per doc only the ``sliding_window_view(...).min`` selection runs, which
+    is a C-level reduction over a (m, window) view — no Python inner loop.
+    """
+    from linkgraph.dedup import _flat_shingle_hashes
+
+    def block(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        hv, starts = _flat_shingle_hashes(col, k)
+        out = []
+        for i in range(len(t)):
+            h = hv[starts[i] : starts[i + 1]]
+            if len(h) == 0:
+                out.append([])
+                continue
+            w = min(window, len(h))
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            out.append(
+                np.unique((mins >> np.uint64(1)).astype(np.int64)).tolist()
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": pa.array(out, pa.list_(pa.int64()))}
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        block, batch_format="pyarrow"
+    )

@@ -94,3 +94,68 @@ def test_lang_id_large_string_offsets():
     # sliced large_string (nonzero array offset) must also parse correctly
     got_sliced = ident(large.slice(2)).to_pandas().reset_index(drop=True)
     assert got_sliced.equals(got_large.iloc[2:].reset_index(drop=True))
+
+
+# --- winnowing fingerprints (MOSS local selection) ---------------------------
+
+def test_winnow_guarantee_shared_substring_shares_fp():
+    """The winnowing guarantee: a shared substring of length >= window+k-1
+    must produce at least one shared fingerprint."""
+    from linkgraph.textstats import winnow_fingerprints
+
+    k, window = 9, 16
+    shared = "the quick brown fox jumps over the lazy dog!"  # 45 >= 16+9-1
+    a = "AAAA completely different prefix " + shared + " tail one xxxxx"
+    b = "BBBB other start material here.. " + shared + " different end"
+    t = pa.table({"doc_id": np.array([0, 1], dtype=np.int64),
+                  "text": [a, b]})
+    out = winnow_fingerprints(rd.from_arrow(t), k=k, window=window).take_all()
+    fps = {r["doc_id"]: set(r["fp"]) for r in out}
+    assert fps[0] & fps[1], "guaranteed shared fingerprint missing"
+
+
+def test_winnow_containment_is_subset():
+    """A contiguous substring-copy's fingerprints are a subset of the
+    source's (every window of the copy is a window of the source)."""
+    from linkgraph.textstats import winnow_fingerprints
+
+    src = " ".join(f"token{i} filler words" for i in range(40))
+    copy = src[100:260]
+    t = pa.table({"doc_id": np.array([0, 1], dtype=np.int64),
+                  "text": [src, copy]})
+    out = winnow_fingerprints(rd.from_arrow(t), k=9, window=16).take_all()
+    fps = {r["doc_id"]: set(r["fp"]) for r in out}
+    assert fps[1] <= fps[0]
+
+
+def test_winnow_deterministic_across_partitioning():
+    from linkgraph.textstats import winnow_fingerprints
+
+    texts = [f"document {i} " + " ".join(f"w{i}{j}" for j in range(30))
+             for i in range(40)]
+    t = pa.table({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+    a = {r["doc_id"]: tuple(r["fp"]) for r in
+         winnow_fingerprints(rd.from_arrow(t).repartition(1)).take_all()}
+    b = {r["doc_id"]: tuple(r["fp"]) for r in
+         winnow_fingerprints(rd.from_arrow(t).repartition(7)).take_all()}
+    assert a == b
+
+
+def test_winnow_copy_detect_clusters_exact_and_contained():
+    from linkgraph.dedup import winnow_copy_detect
+
+    base = " ".join(f"sentence {i} about distributed dataflow" for i in range(20))
+    texts = [
+        base,                      # 0: source
+        base,                      # 1: exact copy -> cluster with 0
+        base[50:400],              # 2: contained chunk -> cluster with 0 at thr 1.0
+        "totally unrelated text " * 20,   # 3: no cluster
+        "another independent document body " * 15,  # 4: no cluster
+    ]
+    t = pa.table({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    out = winnow_copy_detect(
+        rd.from_arrow(t).repartition(3), threshold=1.0, num_partitions=2
+    )
+    clusters = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert clusters.get(0) == 0 and clusters.get(1) == 0 and clusters.get(2) == 0
+    assert 3 not in clusters and 4 not in clusters
