@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitems_shipped_30d_range": R.lineitems_shipped_30d_range,
         "corpus_curation": R.corpus_curation,
         "token_counts": R.token_counts,
+        "top_tokens": R.top_tokens,
+        "doc_split_assignment": R.doc_split_assignment,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -838,6 +840,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "top_tokens": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+              FROM documents
+            )
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM toks WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, token LIMIT 20
+        """,
+        "doc_split_assignment": """
+            SELECT doc_id,
+                   CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
         """,
         "doc_word_stats": """
             SELECT doc_id,

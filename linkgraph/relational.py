@@ -703,3 +703,75 @@ def corpus_curation(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Corpus-level heavy hitters: the ``k`` most frequent lowercase
+    latin/digit tokens across the documents table.
+
+    The block-local ``value_counts`` COMBINER runs before the groupby
+    shuffle, so only (token, partial_count) rows ever move — the flat
+    token stream (10-100× the document bytes at corpus scale) never
+    leaves its block.  Ties at the cut break on token asc, both sides.
+    Tokenizer = the RE2 class ``[^a-z0-9]+`` over the lowered text,
+    shared verbatim with the DuckDB oracle (the quality-scores
+    convention)."""
+    d = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        parts = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    return (
+        d.map_batches(partial, batch_format="pyarrow")
+        .groupby("token", num_partitions=_np())
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_split_assignment(sf_dir: str, val_pct: int = 10) -> rd.Dataset:
+    """Deterministic train/val split: ``split = 'val'`` iff the first 60
+    bits of ``md5(str(doc_id))`` mod 100 < ``val_pct``.
+
+    Hash-based, not random — the assignment is identical at any
+    parallelism, any block structure, across reruns, AND in the SQL twin
+    (the standard reproducible corpus-split recipe; a seeded RNG gives
+    none of those).  md5-per-id is a deliberate trade: ~1 M ids/s/core in
+    a single streaming pass buys exact DuckDB recomputability; an
+    engine-internal split would use the vectorized xxhash path instead."""
+    import hashlib
+
+    d = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        val = (h % 100) < val_pct
+        return pa.table(
+            {
+                "doc_id": ids,
+                "split": pa.array(np.where(val, "val", "train")),
+            }
+        )
+
+    return d.map_batches(assign, batch_format="pyarrow")
