@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": R.token_counts,
         "top_tokens": R.top_tokens,
         "doc_split_assignment": R.doc_split_assignment,
+        "users_per_event_type": R.users_per_event_type,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -856,6 +857,10 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 100 < 10
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "users_per_event_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "doc_word_stats": """
             SELECT doc_id,

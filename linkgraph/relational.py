@@ -775,3 +775,37 @@ def doc_split_assignment(sf_dir: str, val_pct: int = 10) -> rd.Dataset:
         )
 
     return d.map_batches(assign, batch_format="pyarrow")
+
+
+def users_per_event_type(sf_dir: str) -> rd.Dataset:
+    """Per-key distinct count: distinct users per event type.
+
+    Two-level combine: block-local unique (event_type, user_id) pairs
+    shrink the stream before ONE pair-keyed groupby makes them globally
+    unique, then a small per-type count — the scalable COUNT(DISTINCT)
+    plan (never collects a per-type user set in one task, so a hot event
+    type cannot blow a worker)."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as _pc
+
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ev.map_batches(uniq_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"], num_partitions=_np())
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        pairs.groupby("event_type", num_partitions=_np())
+        .aggregate(Count(alias_name="n_users"))
+        .select_columns(["event_type", "n_users"])
+    )
