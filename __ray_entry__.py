@@ -143,6 +143,37 @@ def _weighted_pagerank_fixed4(sf_dir: str):
     )
 
 
+def _kcore_planted(sf_dir: str):
+    """2-core of a closed-form planted graph — clique K6 (survives) + cycle
+    C8 (survives) + star-20 and path-6 (peel away over 3 rounds).  The
+    engine peels to the fixed point; the DuckDB oracle unrolls 4 SQL
+    peeling rounds (≥ the fixture's peel depth), so the VALUES are checked,
+    not just the construction.  Arbitrary-graph correctness is pytest-gated
+    against the set-peeling oracle (tests/test_kcore.py)."""
+    import ray.data as rd
+
+    from linkgraph.kcore import kcore
+
+    src, dst = [], []
+    for i in range(6):
+        for j in range(i + 1, 6):
+            src.append(100 + i); dst.append(100 + j)
+    for i in range(8):
+        src.append(200 + i); dst.append(200 + (i + 1) % 8)
+    for i in range(1, 21):
+        src.append(300); dst.append(300 + i)
+    for i in range(5):
+        src.append(400 + i); dst.append(401 + i)
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        }
+    )
+    res = kcore(rd.from_arrow(t).repartition(4), 2)
+    return res.vertices
+
+
 def _triangles(sf_dir: str):
     import ray.data as rd
 
@@ -595,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_labels": _labelprop,
         "pagerank_top100": _pagerank_top100,
         "weighted_pagerank_top100": _weighted_pagerank_fixed4,
+        "kcore_planted": _kcore_planted,
         "triangle_count": _triangles,
         "triangle_count_bsp": _triangles_bsp,
         "extraction_cc": _extraction_cc,
@@ -861,6 +893,48 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "kcore_planted": """
+            WITH e AS (
+              SELECT CAST(100 + a.i AS BIGINT) AS src,
+                     CAST(100 + b.j AS BIGINT) AS dst
+              FROM generate_series(0, 5) a(i) JOIN generate_series(0, 5) b(j)
+                ON b.j > a.i
+              UNION ALL
+              SELECT CAST(200 + i AS BIGINT), CAST(200 + (i + 1) % 8 AS BIGINT)
+              FROM generate_series(0, 7) t(i)
+              UNION ALL
+              SELECT CAST(300 AS BIGINT), CAST(300 + i AS BIGINT)
+              FROM generate_series(1, 20) t(i)
+              UNION ALL
+              SELECT CAST(400 + i AS BIGINT), CAST(401 + i AS BIGINT)
+              FROM generate_series(0, 4) t(i)
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            a0 AS (SELECT DISTINCT src AS v FROM sym),
+            a1 AS (
+              SELECT s.src AS v FROM sym s
+              JOIN a0 x ON x.v = s.src JOIN a0 y ON y.v = s.dst
+              GROUP BY s.src HAVING count(*) >= 2
+            ),
+            a2 AS (
+              SELECT s.src AS v FROM sym s
+              JOIN a1 x ON x.v = s.src JOIN a1 y ON y.v = s.dst
+              GROUP BY s.src HAVING count(*) >= 2
+            ),
+            a3 AS (
+              SELECT s.src AS v FROM sym s
+              JOIN a2 x ON x.v = s.src JOIN a2 y ON y.v = s.dst
+              GROUP BY s.src HAVING count(*) >= 2
+            ),
+            a4 AS (
+              SELECT s.src AS v FROM sym s
+              JOIN a3 x ON x.v = s.src JOIN a3 y ON y.v = s.dst
+              GROUP BY s.src HAVING count(*) >= 2
+            )
+            SELECT v AS vertex FROM a4
         """,
         "doc_word_stats": """
             SELECT doc_id,

@@ -131,3 +131,22 @@ def triangle_count(src: np.ndarray, dst: np.ndarray) -> int:
     for u, v in pairs:
         total += len(adj[u] & adj[v])
     return total // 3
+
+
+def kcore_vertices(src: np.ndarray, dst: np.ndarray, k: int) -> set[int]:
+    """Vertices of the k-core of the simple undirected graph (peeling)."""
+    pairs = {
+        (min(int(u), int(v)), max(int(u), int(v)))
+        for u, v in zip(src.tolist(), dst.tolist())
+        if u != v
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        dead = {v for v in alive if len(adj[v] & alive) < k}
+        if not dead:
+            return alive
+        alive -= dead
