@@ -184,6 +184,16 @@ def _triangles(sf_dir: str):
     return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
 
 
+def _local_clustering(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficient on the
+    co-purchase graph — the wedge-apex-carrying variant of the dataflow
+    triangle pipeline (linkgraph/triangles.py:local_clustering)."""
+    from linkgraph.pipelines import copurchase_edges
+    from linkgraph.triangles import local_clustering
+
+    return local_clustering(copurchase_edges(sf_dir), num_partitions=8)
+
+
 def _triangles_bsp(sf_dir: str):
     """Same count as ``triangle_count`` via the raw-task BSP scale path
     (no degree broadcast, no joins — see linkgraph/triangles_bsp.py)."""
@@ -629,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_planted": _kcore_planted,
         "triangle_count": _triangles,
         "triangle_count_bsp": _triangles_bsp,
+        "local_clustering": _local_clustering,
         "extraction_cc": _extraction_cc,
         # training-data operators (rows-only; property-tested in tests/)
         "minhash_dedup": _minhash_dedup,
@@ -1360,6 +1371,36 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.s = e1.d
             JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+        """,
+        "local_clustering": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+              SELECT e1.s AS a, e1.d AS b, e2.d AS c
+              FROM e e1
+              JOIN e e2 ON e2.s = e1.d
+              JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+            ),
+            tv AS (
+              SELECT v, count(*) AS t FROM (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b AS v FROM tri
+                UNION ALL SELECT c AS v FROM tri
+              ) GROUP BY v
+            ),
+            sym AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+            deg AS (SELECT s AS v, count(*) AS degree FROM sym GROUP BY s)
+            SELECT CAST(deg.v AS BIGINT) AS vertex,
+                   CAST(deg.degree AS BIGINT) AS degree,
+                   CAST(coalesce(tv.t, 0) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN deg.degree >= 2
+                        THEN 2.0 * coalesce(tv.t, 0)
+                             / (deg.degree * (deg.degree - 1))
+                        ELSE 0.0 END AS DOUBLE) AS lcc
+            FROM deg LEFT JOIN tv ON tv.v = deg.v
         """,
         "triangle_count_bsp": """
             WITH e AS (

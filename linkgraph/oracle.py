@@ -133,6 +133,31 @@ def triangle_count(src: np.ndarray, dst: np.ndarray) -> int:
     return total // 3
 
 
+def local_clustering(
+    src: np.ndarray, dst: np.ndarray
+) -> dict[int, tuple[int, int, float]]:
+    """vertex -> (degree, n_triangles, lcc) on the simple undirected graph."""
+    pairs = {
+        (min(int(u), int(v)), max(int(u), int(v)))
+        for u, v in zip(src.tolist(), dst.tolist())
+        if u != v
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out: dict[int, tuple[int, int, float]] = {}
+    for v, nb in adj.items():
+        nbl = sorted(nb)
+        t = sum(
+            len(adj[a] & nb) for a in nbl
+        ) // 2  # each triangle at v counted once per ordered neighbor pair
+        d = len(nb)
+        lcc = (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        out[v] = (d, t, lcc)
+    return out
+
+
 def kcore_vertices(src: np.ndarray, dst: np.ndarray, k: int) -> set[int]:
     """Vertices of the k-core of the simple undirected graph (peeling)."""
     pairs = {

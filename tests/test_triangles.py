@@ -46,3 +46,66 @@ def test_parallel_edges_do_not_inflate():
         }
     )
     assert triangle_count(G.from_arrow_edges(edges), num_partitions=2, mode="dataflow") == 1
+
+
+def _lcc_df(res):
+    import pandas as pd
+
+    df = res.to_pandas().sort_values("vertex").reset_index(drop=True)
+    return df
+
+
+def test_local_clustering_planted():
+    from linkgraph.triangles import local_clustering
+
+    # K4 (lcc 1.0 everywhere) + C5 (lcc 0) + star-5 (lcc 0) + a triangle
+    # with a pendant (lcc 1, 1, 1/3, 0)
+    src, dst = [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            src.append(10 + i); dst.append(10 + j)
+    for i in range(5):
+        src.append(20 + i); dst.append(20 + (i + 1) % 5)
+    for leaf in range(31, 36):
+        src.append(30); dst.append(leaf)
+    src += [40, 40, 41, 42]
+    dst += [41, 42, 42, 43]
+    t = pa.table(
+        {"src": np.array(src, dtype=np.int64), "dst": np.array(dst, dtype=np.int64)}
+    )
+    exp = oracle.local_clustering(t["src"].to_numpy(), t["dst"].to_numpy())
+    df = _lcc_df(local_clustering(G.from_arrow_edges(t).repartition(3)))
+    assert len(df) == len(exp)
+    for row in df.itertuples():
+        d, tri, lcc = exp[int(row.vertex)]
+        assert (row.degree, row.n_triangles) == (d, tri), row
+        assert abs(row.lcc - lcc) < 1e-12, row
+    got40 = df.set_index("vertex")
+    assert got40.loc[40, "lcc"] == 1.0
+    assert abs(got40.loc[42, "lcc"] - 1.0 / 3.0) < 1e-12
+    assert got40.loc[43, "lcc"] == 0.0
+    assert got40.loc[30, "lcc"] == 0.0
+
+
+def test_local_clustering_random_vs_oracle():
+    from linkgraph.triangles import local_clustering
+
+    rng = np.random.default_rng(47)
+    n, m = 90, 600
+    t = pa.table(
+        {
+            "src": rng.integers(0, n, m).astype(np.int64),
+            "dst": rng.integers(0, n, m).astype(np.int64),
+        }
+    )
+    exp = oracle.local_clustering(t["src"].to_numpy(), t["dst"].to_numpy())
+    df = _lcc_df(local_clustering(G.from_arrow_edges(t).repartition(4)))
+    assert len(df) == len(exp)
+    total_from_vertices = df["n_triangles"].sum()
+    assert total_from_vertices == 3 * oracle.triangle_count(
+        t["src"].to_numpy(), t["dst"].to_numpy()
+    )
+    for row in df.itertuples():
+        d, tri, lcc = exp[int(row.vertex)]
+        assert (row.degree, row.n_triangles) == (d, tri), row
+        assert abs(row.lcc - lcc) < 1e-12, row
