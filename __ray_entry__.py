@@ -616,6 +616,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": R.top_tokens,
         "doc_split_assignment": R.doc_split_assignment,
         "users_per_event_type": R.users_per_event_type,
+        "top_docs_per_lang": R.top_docs_per_lang,
+        "customers_without_events": R.customers_without_events,
+        "customers_with_events": R.customers_with_events,
+        "order_price_quantiles": R.order_price_quantiles,
+        "order_price_quantiles_by_priority": R.order_price_quantiles_by_priority,
+        "user_event_rolling": R.user_event_rolling,
+        "customer_order_stats": R.customer_order_stats,
+        "approx_distinct_users": R.approx_distinct_users_kmv,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -904,6 +912,63 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, n_chars, lang, rk FROM (
+              SELECT doc_id, n_chars, lang,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS rk
+              FROM documents
+            ) WHERE rk <= 3
+        """,
+        "customers_without_events": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+            GROUP BY c_mktsegment
+        """,
+        "customers_with_events": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (SELECT user_id FROM events)
+            GROUP BY c_mktsegment
+        """,
+        "order_price_quantiles": """
+            WITH a AS (
+              SELECT quantile_disc(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS v
+              FROM orders
+            )
+            SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+                   unnest(v) AS o_totalprice
+            FROM a
+        """,
+        "approx_distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+        """,
+        "order_price_quantiles_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(o_totalprice, 0.95) AS DOUBLE) AS p95
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "user_event_rolling": """
+            SELECT event_id, user_id,
+                   CAST(sum(value) OVER w AS DOUBLE) AS roll_sum,
+                   CAST(avg(value) OVER w AS DOUBLE) AS roll_mean
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "customer_order_stats": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+                   CAST(sum(o.o_totalprice) AS DOUBLE) AS total_spent
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
         """,
         "kcore_planted": """
             WITH e AS (

@@ -148,8 +148,16 @@ def bucket_join(
     salt: int = 1,
     left_payload: dict[str, pa.DataType] | None = None,
     right_payload: dict[str, pa.DataType] | None = None,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Inner hash join of two Datasets on ``on`` (int64 key columns).
+    """Hash join of two Datasets on ``on`` (int64 key columns).
+
+    ``how``: ``"inner"`` (default), ``"left"`` (left outer — unmatched left
+    rows kept with null right payload), ``"semi"`` (left rows whose key
+    exists on the right — no row multiplication from right-side duplicates)
+    or ``"anti"`` (left rows whose key does NOT exist on the right).  For
+    semi/anti the right side is keys-only (``right_payload`` must be empty)
+    and the output schema is the left schema.
 
     Non-key column names must be disjoint between the sides (the engine
     controls all schemas).  ``left_payload`` / ``right_payload`` — optional
@@ -200,6 +208,13 @@ def bucket_join(
     overlap = set(left_payload) & set(right_payload)
     if overlap:
         raise ValueError(f"bucket_join: overlapping payload columns {overlap}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"bucket_join: unknown how {how!r}")
+    if how in ("semi", "anti") and right_payload:
+        raise ValueError(
+            f"bucket_join: {how} join takes a keys-only right side, got "
+            f"payload columns {sorted(right_payload)}"
+        )
 
     nb = (num_buckets or default_partitions()) * max(salt, 1)
     lpay, rpay = list(left_payload), list(right_payload)
@@ -238,8 +253,18 @@ def bucket_join(
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         ldf = t.filter(pa.array(side == 0)).select(on + lpay).to_pandas()
         rdf = t.filter(pa.array(side == 1)).select(on + rpay).to_pandas()
-        out = ldf.merge(rdf, on=on, how="inner")
         keep = [c for c in out_cols if c != _SALT]
+        if how in ("semi", "anti"):
+            # existence mask, no row multiplication: right is keys-only
+            hit = ldf.merge(
+                rdf.drop_duplicates(), on=on, how="left", indicator=True
+            )["_merge"].to_numpy() == "both"
+            out = ldf[hit if how == "semi" else ~hit]
+        else:
+            # "left": pandas widens missing right payload to NaN; the
+            # from_pandas conversion below maps NaN -> Arrow null even for
+            # integer target types, so the outer rows come out null-padded.
+            out = ldf.merge(rdf, on=on, how=how)
         arrays = [
             pa.Array.from_pandas(out[c], type=out_types[c]) for c in keep
         ]

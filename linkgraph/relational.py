@@ -332,6 +332,391 @@ def distinct_users(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(pa.table({"n_users": pa.array([n], pa.int64())}))
 
 
+def colocate_by_key(
+    ds: rd.Dataset, key: str, num_buckets: int | None = None
+) -> rd.Dataset:
+    """Hash-repartition ``ds`` so ALL rows of each ``key`` value land in one
+    output block (the ``bucket_join`` exchange, single-sided).  The final
+    blocks hold many whole groups each, so downstream per-block kernels stay
+    vectorized ACROSS groups — no per-group Python dispatch, unlike
+    ``groupby().map_groups``.  Works for string and integer keys.
+    """
+    from linkgraph.graph import default_partitions
+    from linkgraph.partition import _BUCKET
+    from linkgraph.sketch import _column_hashes
+
+    nb = num_buckets or default_partitions()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(_BUCKET, pa.array([], pa.int64()))
+        b = (_column_hashes(t[key]) % np.uint64(nb)).astype(np.int64)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    parted = ds.map_batches(add_bucket, batch_format="pyarrow").repartition(
+        nb, keys=[_BUCKET]
+    )
+    return parted.map_batches(
+        lambda t: t.drop_columns([_BUCKET]) if t.num_columns else t,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+def _group_runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run_id, starts) for a key array already sorted by key: ``run_id[i]``
+    is the 0-based group index of row i, ``starts[g]`` its first row."""
+    change = np.empty(len(keys), dtype=bool)
+    change[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=change[1:])
+    run_id = np.cumsum(change) - 1
+    return run_id, np.flatnonzero(change)
+
+
+def grouped_topk(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    descending: list[bool],
+    k: int,
+    *,
+    rank_col: str = "rk",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Top-``k`` rows per ``key`` group under the (``order_cols``,
+    ``descending``) total order — ``row_number() OVER (PARTITION BY key
+    ORDER BY ...) <= k``.  The order must be total (include a unique
+    tiebreaker) so the result is deterministic at any parallelism.
+
+    Scale shape: a per-block combiner keeps ≤ k rows per (block, key)
+    BEFORE the only exchange (a hash repartition on the key, the
+    ``bucket_join`` pattern — a range sort would split one key's run
+    across block boundaries and double-count its top-k), so the shuffle
+    moves at most ``k·n_keys·n_blocks`` rows, not the input; the final
+    pass ranks each co-located key vectorized across ALL groups in the
+    bucket (no per-group Python).  No driver materialization; output
+    streams.
+    """
+    sch = ds.schema()
+    out_types = dict(zip(sch.names, sch.types))
+    empty_out = pa.table(
+        {
+            **{c: pa.array([], out_types[c]) for c in sch.names},
+            rank_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def sort_key(t: pa.Table):
+        cols = [t[key].to_numpy(zero_copy_only=False)]
+        for c, desc in zip(order_cols, descending):
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols.append(-v if desc else v)
+        # np.lexsort: last key is primary
+        return np.lexsort(tuple(reversed(cols)))
+
+    def topk_block(t: pa.Table, final: bool) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty_out.drop_columns([rank_col]) if not final else empty_out
+        order = sort_key(t)
+        kk = t[key].to_numpy(zero_copy_only=False)[order]
+        run_id, starts = _group_runs(kk)
+        rank = np.arange(len(kk), dtype=np.int64) - starts[run_id]
+        keep = rank < k
+        out = t.take(pa.array(order[keep]))
+        if final:
+            out = out.append_column(rank_col, pa.array(rank[keep] + 1))
+        return out
+
+    partial = ds.map_batches(
+        lambda t: topk_block(t, False), batch_format="pyarrow"
+    )
+    return colocate_by_key(partial, key, num_buckets).map_batches(
+        lambda t: topk_block(t, True), batch_format="pyarrow", batch_size=None
+    )
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k docs per language by (n_chars desc, doc_id asc) with rank."""
+    d = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    return grouped_topk(d, "lang", ["n_chars", "doc_id"], [True, False], k)
+
+
+def _cust_event_join(sf_dir: str, how: str) -> rd.Dataset:
+    """customer ⋉/▷ events on c_custkey = user_id, counted per segment.
+
+    The right side block-uniques its keys (cheap combiner); the join itself
+    is the bucketed hash exchange with an existence mask, so no row from
+    the many-side events table ever multiplies a customer row."""
+    from linkgraph.partition import bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ekeys = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": np.unique(t["user_id"].to_numpy(zero_copy_only=False))}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        cust,
+        ekeys,
+        ["c_custkey"],
+        left_payload={"c_mktsegment": pa.string()},
+        right_payload={},
+        how=how,
+    )
+    return (
+        joined.groupby("c_mktsegment", num_partitions=_np())
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def customers_without_events(sf_dir: str) -> rd.Dataset:
+    """Customers with NO event activity per market segment (anti join)."""
+    return _cust_event_join(sf_dir, "anti")
+
+
+def customers_with_events(sf_dir: str) -> rd.Dataset:
+    """Customers WITH event activity per market segment (semi join)."""
+    return _cust_event_join(sf_dir, "semi")
+
+
+def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> list[float]:
+    """Exact order-statistics quantiles of ``col`` (``quantile_disc``
+    semantics: the value at 0-based global index ``ceil(q·n) − 1``).
+
+    One range exchange (sort by the value column) whose blocks stay in the
+    object store; per-block lengths come back from tiny remote probes, and
+    only the ≤ ``len(qs)`` selected scalars ever reach the driver — no
+    block is pulled whole.
+    """
+    import math
+
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _blk_len(t: pa.Table) -> int:
+        return len(t)
+
+    @ray.remote(num_cpus=0)
+    def _pick(t: pa.Table, idxs: list[int]) -> list[float]:
+        v = t[col].to_numpy(zero_copy_only=False)
+        return [float(v[i]) for i in idxs]
+
+    parted = ds.select_columns([col]).sort(col).materialize()
+    refs = parted.to_arrow_refs()
+    counts = np.asarray(ray.get([_blk_len.remote(r) for r in refs]), dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    gidx = [min(max(math.ceil(q * n) - 1, 0), n - 1) for q in qs]
+    per_block: dict[int, list[tuple[int, int]]] = {}
+    for qi, g in enumerate(gidx):
+        b = int(np.searchsorted(offsets, g, side="right") - 1)
+        per_block.setdefault(b, []).append((qi, g - int(offsets[b])))
+    out: list[float] = [0.0] * len(qs)
+    picked = ray.get(
+        [_pick.remote(refs[b], [loc for _, loc in pairs]) for b, pairs in per_block.items()]
+    )
+    for (b, pairs), vals in zip(per_block.items(), picked):
+        for (qi, _), v in zip(pairs, vals):
+            out[qi] = v
+    return out
+
+
+def order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact 25/50/75/95th percentiles of o_totalprice (quantile_disc)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    qs = [0.25, 0.5, 0.75, 0.95]
+    vals = exact_quantiles(orders, "o_totalprice", qs)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(qs, pa.float64()),
+                "o_totalprice": pa.array(vals, pa.float64()),
+            }
+        )
+    )
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    q_names: list[str],
+    *,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exact per-group quantiles (``quantile_disc`` semantics: the value at
+    0-based index ``ceil(q·n_g) − 1`` within each group's sorted run).
+
+    One hash exchange co-locates each group, then ONE lexsort per block
+    ranks every group at once; the per-quantile picks are pure vectorized
+    indexing over the segment boundaries — no per-group Python, no driver
+    materialization.  Groups must individually fit a block (same contract
+    as any exact per-group order statistic; pre-aggregate or sketch when a
+    single group outgrows a worker).
+    """
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def quants_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t[key].type if t.num_columns else pa.string()),
+                    **{qn: pa.array([], pa.float64()) for qn in q_names},
+                }
+            )
+        kk = t[key].to_numpy(zero_copy_only=False)
+        vv = t[col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, kk))
+        kk, vv = kk[order], vv[order]
+        run_id, starts = _group_runs(kk)
+        n_g = np.diff(np.append(starts, len(kk)))  # rows per group
+        # idx[g, j] = start_g + clamp(ceil(q_j * n_g) - 1, 0, n_g - 1)
+        off = np.ceil(n_g[:, None] * qarr[None, :]).astype(np.int64) - 1
+        np.clip(off, 0, (n_g - 1)[:, None], out=off)
+        picks = vv[starts[:, None] + off]
+        cols = {key: pa.Array.from_pandas(kk[starts])}
+        for j, qn in enumerate(q_names):
+            cols[qn] = pa.array(picks[:, j].astype(np.float64))
+        return pa.table(cols)
+
+    co = colocate_by_key(ds.select_columns([key, col]), key, num_buckets)
+    return co.map_batches(quants_block, batch_format="pyarrow", batch_size=None)
+
+
+def order_price_quantiles_by_priority(sf_dir: str) -> rd.Dataset:
+    """Exact median / p95 of o_totalprice per order priority."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return grouped_quantiles(
+        orders, "o_orderpriority", "o_totalprice", [0.5, 0.95], ["p50", "p95"]
+    )
+
+
+def user_event_rolling(sf_dir: str, window: int = 3) -> rd.Dataset:
+    """Per-user rolling aggregate over the event stream: for each event,
+    the sum and mean of ``value`` over the last ``window`` rows of that
+    user in ``(ts, event_id)`` order — ``SUM(value) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW)``.
+
+    Scale shape: one hash exchange on user_id (sessionization's
+    partitioning key — reusable across the whole per-user query family),
+    then one lexsort per block and ``window − 1`` shifted adds, masked at
+    segment starts.  The window sum is computed by DIRECT addition (not a
+    cumsum difference), so there is no cancellation error and the floats
+    match the oracle bit-for-bit at small windows.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def roll_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "roll_sum": pa.array([], pa.float64()),
+                    "roll_mean": pa.array([], pa.float64()),
+                }
+            )
+        uu = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uu))
+        u, v = uu[order], t["value"].to_numpy(zero_copy_only=False)[order]
+        run_id, starts = _group_runs(u)
+        pos = np.arange(len(u), dtype=np.int64) - starts[run_id]
+        s = v.copy()
+        cnt = np.ones(len(u), dtype=np.int64)
+        for d in range(1, window):
+            in_win = pos >= d
+            idx = np.flatnonzero(in_win)
+            s[idx] += v[idx - d]
+            cnt[idx] += 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u),
+                "roll_sum": pa.array(s.astype(np.float64)),
+                "roll_mean": pa.array((s / cnt).astype(np.float64)),
+            }
+        )
+
+    co = colocate_by_key(ev, "user_id")
+    return co.map_batches(roll_block, batch_format="pyarrow", batch_size=None)
+
+
+def customer_order_stats(sf_dir: str) -> rd.Dataset:
+    """Per-customer order count + exact 2-dp spend, INCLUDING customers
+    with no orders (left outer join: 0 orders, NULL spend — the SQL
+    convention).
+
+    Scale shape: orders pre-aggregate to one row per customer (partial
+    combiners inside Ray's groupby), then customer LEFT-bucket-joins that
+    agg — both sides shuffle once on the same key; no side is assumed to
+    fit in memory (contrast ``broadcast_join``, which this deliberately
+    does not use: at web scale the per-customer agg is as big as the
+    customer table)."""
+    from linkgraph.partition import bucket_join
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = o.groupby("c_custkey", num_partitions=_np()).aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_sum")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucket_join(
+        cust,
+        agg,
+        ["c_custkey"],
+        left_payload={"c_mktsegment": pa.string()},
+        right_payload={"n_orders": pa.int64(), "price_sum": pa.int64()},
+        how="left",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64()))
+        s = pc.divide(pc.cast(t["price_sum"], pa.float64()), 100.0)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": n,
+                "total_spent": s,
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def approx_distinct_users_kmv(sf_dir: str) -> rd.Dataset:
+    """Distinct users via the KMV sketch (linkgraph/sketch.py) — no shuffle.
+
+    With k = 2^16 ≥ the distinct-user count at every test scale the sketch
+    is in its EXACT regime (the ``knn_ivf`` exhaustive-probe convention),
+    so the driver value-checks it against ``count(DISTINCT user_id)``; the
+    estimation regime is pytest-gated to the KMV error bound."""
+    from linkgraph.sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ev, "user_id", k=1 << 16)
+    return rd.from_arrow(
+        pa.table({"n_users": pa.array([int(round(est))], pa.int64())})
+    )
+
+
 # -- dedup with SQL oracle ---------------------------------------------------
 
 def exact_dedup_docs(sf_dir: str) -> rd.Dataset:

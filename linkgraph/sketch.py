@@ -1,0 +1,110 @@
+"""Mergeable sketches for approximate distinct counting at 100-TB scale.
+
+KMV (k-minimum-values, Bar-Yossef et al., RANDOM 2002): keep the ``k``
+smallest 64-bit hashes of the values seen; the k-th smallest estimates the
+distinct count as ``(k − 1) / v_k`` of the hash space.  The sketch is a
+bounded set, so partials MERGE exactly (union + re-truncate) — the whole
+reduction is a per-block combiner plus one tiny driver-side fold of
+``num_blocks`` arrays of ≤ k uint64 each; the data itself is never
+shuffled (contrast the exact-distinct path, which pays a full groupby
+exchange — ``relational.distinct_users``).
+
+Exactness contract (the ``knn_ivf`` exhaustive-regime convention): while a
+merged sketch holds FEWER than ``k`` hashes it has seen every distinct
+value, and the estimate is the EXACT distinct count — that regime is the
+value-checked driver row; the estimation regime is pytest-gated to the
+KMV error bound (~1/√(k−2)).
+
+Hashing is the vectorized polars-xxhash path (`runtime.content_hash64`)
+for strings; int64 columns hash via the same avalanche mix the dedup
+kernels use — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bijective avalanche over uint64."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _column_hashes(col) -> np.ndarray:
+    """uint64 hashes of an Arrow column (string → polars xxhash,
+    integer → splitmix64; both deterministic and process-independent)."""
+    from linkgraph.runtime import content_hash64
+
+    if isinstance(col, pa.ChunkedArray):
+        typ = col.type
+    else:
+        typ = col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return content_hash64(col).view(np.uint64)
+    v = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return _mix64(v.view(np.uint64))
+
+
+def kmv_partial(col, k: int) -> np.ndarray:
+    """Bottom-k distinct hashes of one block's column (sorted uint64)."""
+    h = _column_hashes(col)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64)
+    u = np.unique(h)  # sorted
+    return u[:k]
+
+
+def kmv_merge(partials: list[np.ndarray], k: int) -> np.ndarray:
+    """Exact merge: union of bottom-k sets, re-truncated to bottom-k."""
+    if not partials:
+        return np.empty(0, dtype=np.uint64)
+    u = np.unique(np.concatenate(partials))
+    return u[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> float:
+    """Distinct-count estimate; EXACT while the sketch is not full."""
+    m = len(sketch)
+    if m < k:
+        return float(m)
+    # k-th minimum maps the hash space: E[n] = (k-1) / (v_k / 2^64)
+    vk = float(sketch[k - 1]) + 1.0
+    return (k - 1) * (2.0 ** 64) / vk
+
+
+def approx_distinct(ds: rd.Dataset, col: str, k: int = 1 << 16) -> float:
+    """Approximate distinct count of ``ds[col]`` via a KMV sketch.
+
+    One streaming pass: per-block bottom-k combiners (each ≤ 8·k bytes)
+    flow to the driver through ``iter_batches`` as LIST columns, merged
+    incrementally — memory at the driver is O(k), independent of data
+    size, and there is NO shuffle.
+    """
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"mins": pa.array([], pa.large_list(pa.uint64()))})
+        p = kmv_partial(t[col], k)
+        return pa.table(
+            {"mins": pa.array([p], pa.large_list(pa.uint64()))}
+        )
+
+    sketch = np.empty(0, dtype=np.uint64)
+    parts = ds.select_columns([col]).map_batches(
+        partial_block, batch_format="pyarrow"
+    )
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        chunk = [
+            np.asarray(x, dtype=np.uint64) for x in b["mins"].to_pylist()
+        ]
+        sketch = kmv_merge([sketch] + chunk, k)
+    return kmv_estimate(sketch, k)

@@ -1,0 +1,250 @@
+"""Grouped top-k, semi/anti join, exact quantiles, KMV sketch."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from linkgraph.partition import bucket_join
+from linkgraph.relational import exact_quantiles, grouped_topk
+from linkgraph.sketch import approx_distinct, kmv_estimate, kmv_merge, kmv_partial
+
+
+def _df(ds):
+    return ds.to_pandas()
+
+
+def test_grouped_topk_vs_pandas():
+    rng = np.random.default_rng(3)
+    n = 5_000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 37, n).astype(np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        _df(grouped_topk(rd.from_arrow(t).repartition(6), "g", ["v", "id"], [True, False], 4))
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df = df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+    df["rk"] = df.groupby("g").cumcount() + 1
+    want = df[df["rk"] <= 4].sort_values(["g", "rk"]).reset_index(drop=True)
+    assert got[["g", "v", "id", "rk"]].equals(want[["g", "v", "id", "rk"]])
+
+
+def test_grouped_topk_deterministic_across_partitioning():
+    rng = np.random.default_rng(11)
+    n = 2_000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 5, n).astype(np.int64),
+            "v": rng.integers(0, 50, n).astype(np.int64),  # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    a = _df(grouped_topk(rd.from_arrow(t).repartition(1), "g", ["v", "id"], [True, False], 3))
+    b = _df(grouped_topk(rd.from_arrow(t).repartition(9), "g", ["v", "id"], [True, False], 3))
+    key = ["g", "rk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_semi_anti_join_vs_pandas(how):
+    rng = np.random.default_rng(7)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 100, 3_000).astype(np.int64),
+            "payload": np.arange(3_000, dtype=np.int64),
+        }
+    )
+    # right has duplicate keys on purpose — semi must not multiply rows
+    right = pa.table({"k": rng.integers(50, 150, 500).astype(np.int64)})
+    got = _df(
+        bucket_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            ["k"],
+            left_payload={"payload": pa.int64()},
+            right_payload={},
+            how=how,
+        )
+    ).sort_values("payload").reset_index(drop=True)
+    ldf, rkeys = left.to_pandas(), set(right["k"].to_pylist())
+    mask = ldf["k"].isin(rkeys)
+    want = ldf[mask if how == "semi" else ~mask].sort_values("payload").reset_index(
+        drop=True
+    )
+    assert got.equals(want)
+
+
+def test_anti_join_rejects_right_payload():
+    t = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="keys-only"):
+        bucket_join(t, t, ["k"], left_payload={}, right_payload={"x": pa.int64()}, how="anti")
+
+
+def test_exact_quantiles_match_duckdb_semantics():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(1000.0, 250.0, 10_001)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 1.0]
+    got = exact_quantiles(
+        rd.from_arrow(pa.table({"x": v})).repartition(7), "x", qs
+    )
+    con = duckdb.connect()
+    con.register("v_tbl", pa.table({"x": v}))
+    want = con.execute(f"SELECT quantile_disc(x, {qs}) FROM v_tbl").fetchone()[0]
+    assert got == pytest.approx(want, abs=0.0)
+
+
+def test_kmv_exact_regime():
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 500, 20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(6)
+    n_true = len(np.unique(vals))
+    assert approx_distinct(ds, "x", k=1 << 12) == n_true
+
+
+def test_kmv_estimation_regime_error_bound():
+    rng = np.random.default_rng(17)
+    n_distinct = 50_000
+    vals = rng.permutation(n_distinct).astype(np.int64)
+    k = 1024
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(8)
+    est = approx_distinct(ds, "x", k=k)
+    rel_err = abs(est - n_distinct) / n_distinct
+    assert rel_err < 5.0 / np.sqrt(k - 2), rel_err  # 5 sigma of the KMV bound
+
+
+def test_kmv_merge_equals_single_pass():
+    rng = np.random.default_rng(19)
+    vals = rng.integers(0, 10_000, 30_000)
+    k = 256
+    h_all = kmv_partial(pa.array(vals.astype(np.int64)), k)
+    parts = [
+        kmv_partial(pa.array(c.astype(np.int64)), k)
+        for c in np.array_split(vals, 7)
+    ]
+    merged = kmv_merge(parts, k)
+    assert np.array_equal(merged, h_all)
+    assert kmv_estimate(merged, k) == kmv_estimate(h_all, k)
+
+
+def test_kmv_string_column():
+    vals = [f"user-{i % 300}" for i in range(5_000)]
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals)})).repartition(4)
+    assert approx_distinct(ds, "s", k=1 << 12) == 300
+
+
+def test_left_join_null_fills_vs_pandas():
+    rng = np.random.default_rng(23)
+    left = pa.table(
+        {
+            "k": np.arange(200, dtype=np.int64),
+            "seg": rng.integers(0, 4, 200).astype(np.int64),
+        }
+    )
+    right = pa.table(
+        {
+            "k": rng.choice(150, 80, replace=False).astype(np.int64),
+            "x": rng.integers(0, 9, 80).astype(np.int64),
+        }
+    )
+    got = _df(
+        bucket_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            ["k"],
+            left_payload={"seg": pa.int64()},
+            right_payload={"x": pa.int64()},
+            how="left",
+        )
+    ).sort_values("k").reset_index(drop=True)
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="k", how="left")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 200
+    assert got["k"].equals(want["k"]) and got["seg"].equals(want["seg"])
+    gm, wm = got["x"].isna(), want["x"].isna()
+    assert gm.equals(wm)
+    assert np.array_equal(got["x"][~gm].to_numpy(), want["x"][~wm].to_numpy())
+
+
+def test_grouped_quantiles_vs_duckdb():
+    import duckdb
+
+    from linkgraph.relational import grouped_quantiles
+
+    rng = np.random.default_rng(29)
+    n = 20_000
+    t = pa.table(
+        {
+            "g": rng.integers(0, 23, n).astype(np.int64),
+            "v": rng.normal(500.0, 100.0, n),
+        }
+    )
+    got = (
+        _df(grouped_quantiles(rd.from_arrow(t).repartition(7), "g", "v",
+                              [0.25, 0.5, 0.9], ["q25", "q50", "q90"]))
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT g, quantile_disc(v, 0.25) q25, quantile_disc(v, 0.5) q50,
+                  quantile_disc(v, 0.9) q90 FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    assert np.array_equal(got["g"], want["g"])
+    for c in ["q25", "q50", "q90"]:
+        assert np.allclose(got[c], want[c], atol=0.0), c
+
+
+def test_rolling_window_vs_pandas():
+    from linkgraph.relational import user_event_rolling
+
+    # build a small parquet events table under /tmp
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(31)
+    n = 4_000
+    ts = pa.array(
+        rng.integers(0, 500, n).astype("datetime64[us]").astype("datetime64[us]")
+    )
+    t = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": pa.array(["x"] * n),
+            "value": rng.normal(10.0, 3.0, n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = (
+            _df(user_event_rolling(d))
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    r = df.groupby("user_id")["value"].rolling(3, min_periods=1)
+    df["roll_sum"] = r.sum().reset_index(level=0, drop=True)
+    df["roll_mean"] = r.mean().reset_index(level=0, drop=True)
+    want = df.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["roll_sum"], want["roll_sum"], atol=1e-9)
+    assert np.allclose(got["roll_mean"], want["roll_mean"], atol=1e-9)
