@@ -623,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles_by_priority": R.order_price_quantiles_by_priority,
         "user_event_rolling": R.user_event_rolling,
         "customer_order_stats": R.customer_order_stats,
+        "funnel_click_purchase": R.funnel_click_purchase,
+        "common_neighbors_top10": R.common_neighbors_topk,
         "approx_distinct_users": R.approx_distinct_users_kmv,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
@@ -969,6 +971,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(o.o_totalprice) AS DOUBLE) AS total_spent
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY c.c_custkey, c.c_mktsegment
+        """,
+        "funnel_click_purchase": """
+            SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_conversions
+            FROM events p
+            WHERE p.event_type = 'purchase'
+              AND EXISTS (
+                SELECT 1 FROM events c
+                WHERE c.event_type = 'click'
+                  AND c.user_id = p.user_id
+                  AND c.ts <= p.ts
+                  AND c.ts + INTERVAL 1 HOUR > p.ts
+              )
+            GROUP BY p.user_id
+        """,
+        "common_neighbors_top10": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000 AS dst
+              FROM lineitem
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+            ),
+            wedges AS (
+              SELECT a.dst AS u, b.dst AS v
+              FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+            )
+            SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+            FROM wedges GROUP BY u, v
+            ORDER BY n_common DESC, u, v LIMIT 10
         """,
         "kcore_planted": """
             WITH e AS (

@@ -649,6 +649,116 @@ def user_event_rolling(sf_dir: str, window: int = 3) -> rd.Dataset:
     return co.map_batches(roll_block, batch_format="pyarrow", batch_size=None)
 
 
+def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000) -> rd.Dataset:
+    """Per-user funnel conversions: purchases that follow the SAME user's
+    most recent click by less than one hour.
+
+    The temporal-pattern primitive behind funnel analytics, expressed as a
+    composition of existing operators: filter → AS-OF join (purchases
+    aligned to the latest preceding click per user — one bounded hash
+    exchange per side, C-speed merge_asof per block) → window filter →
+    hash-partial count.  EXISTS(click within window) ⟺ latest preceding
+    click is within the window, so the as-of join needs only ONE right row
+    per left row — never a row-multiplying inequality join."""
+    from linkgraph.partition import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(etype: str, ts_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["event_type"], etype)
+            kept = t.filter(m)
+            return pa.table(
+                {"user_id": kept["user_id"], ts_name: kept["ts"]}
+            )
+
+        return fn
+
+    purchases = ev.map_batches(side("purchase", "p_ts"), batch_format="pyarrow")
+    clicks = ev.map_batches(side("click", "c_ts"), batch_format="pyarrow")
+    j = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        left_payload={},
+        right_payload={},
+    )
+    win = pa.scalar(window_us, pa.duration("us"))
+    hits = j.map_batches(
+        lambda t: t.filter(
+            pc.less(pc.subtract(t["p_ts"], t["c_ts"]), win)
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+    return hits.groupby("user_id", num_partitions=_np()).aggregate(
+        Count(alias_name="n_conversions")
+    )
+
+
+def common_neighbors_topk(
+    sf_dir: str, k: int = 10, max_degree: int = 4096
+) -> rd.Dataset:
+    """Top-k vertex pairs by common-neighbor count on the order↔part graph
+    (the link-prediction baseline score).
+
+    Shape: symmetrized distinct edges co-locate by the MIDDLE vertex (one
+    hash exchange), each block emits every within-neighborhood pair (a<b)
+    via pure index arithmetic — one lexsort + repeat/cumsum per block, no
+    per-group Python — then a native hash-partial count per pair and a
+    top-k sort.  Wedge emission is quadratic in the middle vertex's
+    degree, so middles above ``max_degree`` are excluded (the standard
+    link-prediction hub cut: a million-degree hub certifies nothing about
+    pair affinity while emitting d² rows; same spirit as the reference's
+    giant-component skip, src/cc_openmp.c:596-613).  The driver-scale
+    graphs stay far below the cap, so the DuckDB oracle is exact."""
+    edges = edges_from_lineitem(sf_dir)
+    sym = G.symmetrize(G.canonicalize(edges, global_dedup=True))
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        mid = t["src"].to_numpy(zero_copy_only=False)
+        nbr = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, mid))
+        mid, nbr = mid[order], nbr[order]
+        run_id, starts = _group_runs(mid)
+        d = np.diff(np.append(starts, len(mid)))
+        ok = d <= max_degree
+        if not ok.all():
+            keep = ok[run_id]
+            mid, nbr = mid[keep], nbr[keep]
+            if len(mid) == 0:
+                return empty
+            run_id, starts = _group_runs(mid)
+            d = d[ok]
+        pos = np.arange(len(mid), dtype=np.int64) - starts[run_id]
+        cnt = d[run_id] - 1 - pos  # pairs led by this row
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_row = np.repeat(np.arange(len(mid), dtype=np.int64), cnt)
+        row_start = np.cumsum(cnt) - cnt
+        seq = np.arange(total, dtype=np.int64) - row_start[a_row]
+        b_row = a_row + 1 + seq
+        # dst sorted within each middle's run => nbr[a_row] < nbr[b_row]
+        return pa.table({"u": pa.array(nbr[a_row]), "v": pa.array(nbr[b_row])})
+
+    pairs = colocate_by_key(sym, "src").map_batches(
+        emit_pairs, batch_format="pyarrow", batch_size=None
+    )
+    counts = pairs.groupby(["u", "v"], num_partitions=_np()).aggregate(
+        Count(alias_name="n_common")
+    )
+    return counts.sort(
+        ["n_common", "u", "v"], descending=[True, False, False]
+    ).limit(k)
+
+
 def customer_order_stats(sf_dir: str) -> rd.Dataset:
     """Per-customer order count + exact 2-dp spend, INCLUDING customers
     with no orders (left outer join: 0 orders, NULL spend — the SQL

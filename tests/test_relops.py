@@ -248,3 +248,141 @@ def test_rolling_window_vs_pandas():
     want = df.sort_values("event_id").reset_index(drop=True)
     assert np.allclose(got["roll_sum"], want["roll_sum"], atol=1e-9)
     assert np.allclose(got["roll_mean"], want["roll_mean"], atol=1e-9)
+
+
+def _write_events(d, t):
+    import os
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+
+
+def test_funnel_boundary_semantics():
+    """Conversion iff purchase - click < 1h strictly; equal-ts click counts."""
+    import tempfile
+
+    from linkgraph.relational import funnel_click_purchase
+
+    h = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1: click at t0, purchase at exactly t0 + 1h -> NOT a conversion
+        (1, 0, 1, "click"),
+        (2, h, 1, "purchase"),
+        # user 2: click at t0, purchase at t0 + 1h - 1us -> conversion
+        (3, 0, 2, "click"),
+        (4, h - 1, 2, "purchase"),
+        # user 3: click and purchase at the same instant -> conversion
+        (5, 42, 3, "click"),
+        (6, 42, 3, "purchase"),
+        # user 4: purchase BEFORE any click -> no conversion
+        (7, 100, 4, "purchase"),
+        (8, 200, 4, "click"),
+        # user 5: two purchases after one click, both inside window
+        (9, 0, 5, "click"),
+        (10, 10, 5, "purchase"),
+        (11, 20, 5, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, t)
+        got = (
+            _df(funnel_click_purchase(d))
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+    assert got["user_id"].tolist() == [2, 3, 5]
+    assert got["n_conversions"].tolist() == [1, 1, 2]
+
+
+def _brute_common_neighbors(src, dst):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in zip(src, dst):
+        adj[s].add(d)
+        adj[d].add(s)
+    counts = defaultdict(int)
+    for x, nb in adj.items():
+        nb = sorted(nb)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                counts[(nb[i], nb[j])] += 1
+    return counts
+
+
+def test_common_neighbor_pairs_vs_bruteforce():
+    import tempfile
+
+    from linkgraph import graph as G
+    from linkgraph.relational import colocate_by_key, common_neighbors_topk
+
+    rng = np.random.default_rng(37)
+    # random bipartite-ish graph via a fake lineitem table
+    n = 3_000
+    t = pa.table(
+        {
+            "l_orderkey": rng.integers(0, 120, n).astype(np.int64),
+            "l_partkey": rng.integers(0, 40, n).astype(np.int64),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+        import os
+
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        got = _df(common_neighbors_topk(d, k=15))
+    src = t["l_orderkey"].to_numpy()
+    dst = t["l_partkey"].to_numpy() + 1_000_000_000
+    pairs = {(s, x) for s, x in zip(src, dst)}
+    counts = _brute_common_neighbors([p[0] for p in pairs], [p[1] for p in pairs])
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got_t = list(zip(got["u"], got["v"], got["n_common"]))
+    assert got_t == [(u, v, c) for (u, v), c in want]
+
+
+def test_common_neighbors_hub_cap_drops_hub_wedges():
+    """A middle vertex above max_degree contributes no pairs."""
+    import tempfile
+
+    from linkgraph.relational import common_neighbors_topk
+
+    # order 0 is a hub touching 30 parts; orders 1..5 each touch 2 parts
+    ok, pk = [], []
+    for p in range(30):
+        ok.append(0)
+        pk.append(p)
+    for o in range(1, 6):
+        ok += [o, o]
+        pk += [100 + o, 101 + o]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+        import os
+
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        full = _df(common_neighbors_topk(d, k=1000))
+        capped = _df(common_neighbors_topk(d, k=1000, max_degree=10))
+    # hub wedges: C(30,2) = 435 part-part pairs exist only via order 0
+    assert len(full) > len(capped)
+    hub_parts = set(range(1_000_000_000, 1_000_000_030))
+    capped_pairs = set(zip(capped["u"], capped["v"]))
+    assert not any(
+        u in hub_parts and v in hub_parts for u, v in capped_pairs
+    )
