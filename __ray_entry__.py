@@ -625,6 +625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": R.customer_order_stats,
         "funnel_click_purchase": R.funnel_click_purchase,
         "common_neighbors_top10": R.common_neighbors_topk,
+        "user_cumulative_value": R.user_cumulative_value,
+        "top_event_type_per_user": R.top_event_type_per_user,
+        "degree_histogram": R.degree_histogram,
         "approx_distinct_users": R.approx_distinct_users_kmv,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
@@ -956,19 +959,68 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "user_event_rolling": """
+            WITH f AS (
+              SELECT event_id, ts, user_id,
+                     CAST(round(value * 1000000.0) AS BIGINT) AS vc
+              FROM events
+            )
             SELECT event_id, user_id,
-                   CAST(sum(value) OVER w AS DOUBLE) AS roll_sum,
-                   CAST(avg(value) OVER w AS DOUBLE) AS roll_mean
-            FROM events
+                   CAST(sum(vc) OVER w AS DOUBLE) / 1000000.0 AS roll_sum,
+                   CAST(sum(vc) OVER w AS DOUBLE) / 1000000.0
+                       / count(*) OVER w AS roll_mean
+            FROM f
             WINDOW w AS (
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
             )
         """,
+        "user_cumulative_value": """
+            WITH f AS (
+              SELECT event_id, ts, user_id,
+                     CAST(round(value * 1000000.0) AS BIGINT) AS vc
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(vc) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS DOUBLE) / 1000000.0 AS cum_value
+            FROM f
+        """,
+        "top_event_type_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id, event_type
+            ),
+            r AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type
+                     ) AS rk
+              FROM c
+            )
+            SELECT user_id, event_type, n FROM r WHERE rk = 1
+        """,
+        "degree_histogram": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000 AS dst
+              FROM lineitem
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+            ),
+            deg AS (
+              SELECT src AS vertex, count(*) AS degree FROM sym GROUP BY 1
+            )
+            SELECT CAST(floor(log2(degree)) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_vertices
+            FROM deg GROUP BY bucket
+        """,
         "customer_order_stats": """
             SELECT c.c_custkey, c.c_mktsegment,
                    CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
-                   CAST(sum(o.o_totalprice) AS DOUBLE) AS total_spent
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_spent
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY c.c_custkey, c.c_mktsegment
         """,

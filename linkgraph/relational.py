@@ -606,9 +606,10 @@ def user_event_rolling(sf_dir: str, window: int = 3) -> rd.Dataset:
     Scale shape: one hash exchange on user_id (sessionization's
     partitioning key — reusable across the whole per-user query family),
     then one lexsort per block and ``window − 1`` shifted adds, masked at
-    segment starts.  The window sum is computed by DIRECT addition (not a
-    cumsum difference), so there is no cancellation error and the floats
-    match the oracle bit-for-bit at small windows.
+    segment starts.  The window sum follows the repo's exact fixed-point
+    contract (6-dp int64 adds — association-order-free), and the mean is
+    derived from it by the same two double divisions the oracle SQL
+    spells out, so the floats match the oracle bit-for-bit.
     """
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
@@ -626,7 +627,11 @@ def user_event_rolling(sf_dir: str, window: int = 3) -> rd.Dataset:
         ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
         eid = t["event_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts, uu))
-        u, v = uu[order], t["value"].to_numpy(zero_copy_only=False)[order]
+        u = uu[order]
+        v = (
+            pc.cast(pc.round(pc.multiply(t["value"], 1000000.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)[order]
+        )
         run_id, starts = _group_runs(u)
         pos = np.arange(len(u), dtype=np.int64) - starts[run_id]
         s = v.copy()
@@ -636,17 +641,103 @@ def user_event_rolling(sf_dir: str, window: int = 3) -> rd.Dataset:
             idx = np.flatnonzero(in_win)
             s[idx] += v[idx - d]
             cnt[idx] += 1
+        rsum = s.astype(np.float64) / 1000000.0
         return pa.table(
             {
                 "event_id": pa.array(eid[order]),
                 "user_id": pa.array(u),
-                "roll_sum": pa.array(s.astype(np.float64)),
-                "roll_mean": pa.array((s / cnt).astype(np.float64)),
+                "roll_sum": pa.array(rsum),
+                "roll_mean": pa.array(rsum / cnt),
             }
         )
 
     co = colocate_by_key(ev, "user_id")
     return co.map_batches(roll_block, batch_format="pyarrow", batch_size=None)
+
+
+def user_cumulative_value(sf_dir: str) -> rd.Dataset:
+    """Per-user running total of ``value`` in ``(ts, event_id)`` order —
+    ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)``.
+
+    Same shape as ``user_event_rolling`` (one hash exchange on user_id,
+    one lexsort per block); the running sum follows the repo's exact
+    fixed-point contract (6-dp int64), so the whole-block cumsum +
+    segment-base subtraction is EXACT integer math — order-free, and the
+    oracle SQL recomputes the identical quantity."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cum_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cum_value": pa.array([], pa.float64()),
+                }
+            )
+        uu = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uu))
+        u = uu[order]
+        vc = (
+            pc.cast(
+                pc.round(pc.multiply(t["value"], 1000000.0)), pa.int64()
+            )
+            .to_numpy(zero_copy_only=False)[order]
+        )
+        run_id, starts = _group_runs(u)
+        cs = np.cumsum(vc)
+        seg_base = np.zeros(len(starts), dtype=np.int64)
+        seg_base[1:] = cs[starts[1:] - 1]
+        seg = cs - seg_base[run_id]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u),
+                "cum_value": pa.array(seg.astype(np.float64) / 1000000.0),
+            }
+        )
+
+    co = colocate_by_key(ev, "user_id")
+    return co.map_batches(cum_block, batch_format="pyarrow", batch_size=None)
+
+
+def top_event_type_per_user(sf_dir: str) -> rd.Dataset:
+    """Each user's most frequent event type (mode), ties broken by type
+    name — count per (user, type) via the native hash-partial groupby,
+    then top-1 per user through ``grouped_topk``."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"], num_partitions=_np()).aggregate(
+        Count(alias_name="n")
+    )
+    top = grouped_topk(counts, "user_id", ["n", "event_type"], [True, False], 1)
+    return top.map_batches(
+        lambda t: t.select(["user_id", "event_type", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def degree_histogram(sf_dir: str) -> rd.Dataset:
+    """log2-bucketed degree distribution of the order↔part graph: one row
+    per bucket ``b`` counting vertices with ``2^b <= degree < 2^(b+1)`` —
+    the standard power-law summary, O(log V) output at any scale."""
+    edges = edges_from_lineitem(sf_dir)
+    canon = G.canonicalize(edges, global_dedup=True)
+    deg = G.undirected_degrees(canon)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # float exponent: frexp(d)[1] - 1 == floor(log2 d) for d >= 1
+        b = np.frexp(d.astype(np.float64))[1].astype(np.int64) - 1
+        return pa.table({"bucket": pa.array(b)})
+
+    return (
+        deg.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_np())
+        .aggregate(Count(alias_name="n_vertices"))
+    )
 
 
 def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000) -> rd.Dataset:

@@ -386,3 +386,35 @@ def test_common_neighbors_hub_cap_drops_hub_wedges():
     assert not any(
         u in hub_parts and v in hub_parts for u, v in capped_pairs
     )
+
+
+def test_cumulative_value_vs_pandas():
+    import tempfile
+
+    from linkgraph.relational import user_cumulative_value
+
+    rng = np.random.default_rng(41)
+    n = 3_000
+    # heavy ts ties so the (ts, event_id) tiebreak matters
+    t = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pa.array(rng.integers(0, 50, n).astype("datetime64[us]")),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),
+            "event_type": pa.array(["x"] * n),
+            "value": rng.normal(0.0, 5.0, n),  # negative values too
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(d, t)
+        got = (
+            _df(user_cumulative_value(d))
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["vc"] = np.round(df["value"] * 1e6).astype(np.int64)
+    df["cum_value"] = df.groupby("user_id")["vc"].cumsum() / 1e6
+    want = df.sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(got["cum_value"].to_numpy(), want["cum_value"].to_numpy())
