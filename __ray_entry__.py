@@ -48,6 +48,17 @@ def _cc_sizes(sf_dir: str):
     return sizes
 
 
+def _bfs_membership(sf_dir: str):
+    """Single-source BFS hop distances on the bounded membership graph,
+    from region 0's vertex — value-checked against a recursive-walk DuckDB
+    oracle (distinct (v, d) states, min hop per vertex)."""
+    from linkgraph.bfs import bfs_hops
+    from linkgraph.pipelines import membership_edges
+
+    dists, _ = bfs_hops(membership_edges(sf_dir), 3_000_000_000, num_partitions=8)
+    return dists
+
+
 def _cc_frequent_label(sf_dir: str):
     """Seeded sample-mode estimate of the giant component's label (ref
     ``sample_frequent_element``, ``src/cc_openmp.c:422-496``), run in the
@@ -635,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_vec0_top10": R.knn_vec0_top10,
         # graph kernels, value-checked (DuckDB recursive/unrolled CTE oracles)
         "cc_membership": _cc_membership,
+        "bfs_hops_membership": _bfs_membership,
         "cc_membership_from_mtx": _cc_membership_from_mtx,
         "cc_membership_sizes": _cc_membership_sizes,
         "cc_membership_summary": _cc_membership_summary,
@@ -1265,6 +1277,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
             )
             SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "bfs_hops_membership": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            walk(v, d) AS (
+              SELECT CAST(3000000000 AS BIGINT) AS v, 0 AS d
+              UNION
+              SELECT sym.dst, walk.d + 1 FROM walk JOIN sym ON sym.src = walk.v
+              WHERE walk.d < 8
+            )
+            SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY v
         """,
         "cc_membership_from_mtx": """
             WITH RECURSIVE e AS (

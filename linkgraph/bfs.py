@@ -1,0 +1,153 @@
+"""Single-source BFS hop distances as frontier supersteps.
+
+The fifth iterative kernel on the engine's superstep machinery: BFS is
+min-label propagation (``labelprop.py``, ref ``src/cc_openmp.c:38-142``)
+with the emitted value incremented per hop — dist(v) = min(dist(v),
+min_u dist(u) + 1) — so the loop below mirrors the labelprop shuffle-mode
+sweep exactly, with two BFS-specific strengthenings:
+
+- **Frontier-only gather.** Only vertices whose distance changed last
+  superstep join against the edge table (the queue-based frontier of the
+  reference's ``label_propagation_min``, ``src/cc_sequential.c:130-153``).
+  For BFS this is not an optimization but the actual algorithm: the
+  frontier is exactly one hop level, so each superstep's join touches
+  O(|level k| + deg(level k)) rows, never the whole graph.
+- **Settled vertices never re-emit.** Hop distances only decrease when
+  first set (unweighted edges), so a vertex leaves the frontier after one
+  superstep and the total work across ALL supersteps is O(E) — the same
+  bound as the sequential algorithm, paid as one bounded hash join per
+  level.
+
+Scale shape: state is a (vertex, dist, changed) Dataset, hash-partitioned
+by vertex; each superstep is ONE bucketed hash join (frontier ⋈ edges) +
+one groupby-min; convergence is a changed-count aggregate
+(``reduction(||:changed)``, ``src/cc_openmp.c:92-94``).  O(diameter)
+supersteps — the right kernel for the low-diameter web graphs this engine
+targets (effective diameter < 20 at any crawl size).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from linkgraph import graph as G
+from linkgraph.partition import bucket_join
+
+_INF = np.iinfo(np.int64).max
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    source: int,
+    *,
+    num_partitions: int | None = None,
+    max_iters: int = 1000,
+) -> tuple[rd.Dataset, list[dict[str, Any]]]:
+    """Hop distance from ``source`` to every reachable vertex.
+
+    Returns ``(dists, metrics)``: ``dists`` has columns
+    ``(vertex: int64, dist: int64)`` and contains REACHED vertices only
+    (the SQL recursive-walk convention); ``metrics`` has one row per
+    superstep with the frontier size and wall time.
+    """
+    from linkgraph.runtime import tune_context
+
+    tune_context()
+    num_partitions = num_partitions or G.default_partitions()
+    sym = G.symmetrize_block(G.canonicalize(edges)).materialize()
+    verts = G.vertices_of(sym, num_partitions)
+
+    src_val = np.int64(source)
+
+    def init(t: pa.Table) -> pa.Table:
+        v = t["vertex"].to_numpy(zero_copy_only=False)
+        is_src = v == src_val
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "dist": pa.array(np.where(is_src, 0, _INF).astype(np.int64)),
+                "changed": pa.array(is_src.astype(np.int8)),
+            }
+        )
+
+    state = verts.map_batches(init, batch_format="pyarrow").materialize()
+    metrics: list[dict[str, Any]] = []
+
+    for it in range(max_iters):
+        t0 = time.perf_counter()
+        frontier = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.filter(pc.equal(t["changed"], 1))["vertex"],
+                    "dist": t.filter(pc.equal(t["changed"], 1))["dist"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        cand = bucket_join(
+            sym,
+            frontier,
+            ["src"],
+            num_buckets=num_partitions,
+            left_payload={"dst": pa.int64()},
+            right_payload={"dist": pa.int64()},
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["dst"],
+                    "dist": pc.add(t["dist"], 1),
+                    "old": pa.array(np.full(len(t), _INF, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        own = state.map_batches(
+            lambda t: pa.table(
+                {"vertex": t["vertex"], "dist": t["dist"], "old": t["dist"]}
+            ),
+            batch_format="pyarrow",
+        )
+        reduced = (
+            cand.union(own)
+            .groupby("vertex", num_partitions=num_partitions)
+            .aggregate(Min("dist", alias_name="dist"), Min("old", alias_name="old"))
+        )
+        mat = reduced.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t["vertex"],
+                    "dist": t["dist"],
+                    "changed": pc.cast(
+                        pc.less(t["dist"], t["old"]), pa.int8()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # re-root the state on the materialized blocks: materialize() keeps
+        # the full logical plan, and O(diameter) supersteps of accreted
+        # lineage overflow the interpreter's recursion limit on plan walks
+        state = rd.from_arrow_refs(mat.to_arrow_refs())
+        metrics.append(
+            {
+                "superstep": it,
+                "frontier": int(n_frontier),
+                "sec": time.perf_counter() - t0,
+            }
+        )
+
+    dists = state.map_batches(
+        lambda t: t.filter(pc.less(t["dist"], _INF)).select(["vertex", "dist"]),
+        batch_format="pyarrow",
+    )
+    return dists, metrics

@@ -1,0 +1,94 @@
+"""BFS hop distances vs a pure-Python BFS oracle on adversarial shapes."""
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+
+from linkgraph import graph as G, synth
+from linkgraph.bfs import bfs_hops
+
+
+def _py_bfs(src_arr, dst_arr, source):
+    adj = {}
+    for s, d in zip(src_arr, dst_arr):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def _check(tbl, source, num_partitions=4):
+    got_ds, metrics = bfs_hops(
+        G.from_arrow_edges(tbl), source, num_partitions=num_partitions
+    )
+    got = got_ds.to_pandas().set_index("vertex")["dist"].to_dict()
+    want = _py_bfs(
+        tbl["src"].to_numpy(), tbl["dst"].to_numpy(), source
+    )
+    assert got == want
+    # frontier supersteps = eccentricity + 1 (the settle check round)
+    ecc = max(want.values())
+    assert len(metrics) == ecc + 1
+    return metrics
+
+
+def test_bfs_chain():
+    n = 24
+    t = pa.table(
+        {
+            "src": np.arange(n - 1, dtype=np.int64),
+            "dst": np.arange(1, n, dtype=np.int64),
+        }
+    )
+    _check(t, 0)
+    _check(t, n // 2)
+
+
+def test_bfs_hub_graph():
+    t, _ = synth.make_hub_graph(2000, 3, seed=7)
+    _check(t, 0)  # source at the hub — frontier of 2000 in one superstep
+
+
+def test_bfs_random_with_unreachable():
+    rng = np.random.default_rng(43)
+    # two islands: vertices 0-99 and 1000-1099; source in island 1
+    a = rng.integers(0, 100, 400)
+    b = rng.integers(0, 100, 400)
+    c = rng.integers(1000, 1100, 300)
+    d = rng.integers(1000, 1100, 300)
+    t = pa.table(
+        {
+            "src": np.concatenate([a, c]).astype(np.int64),
+            "dst": np.concatenate([b, d]).astype(np.int64),
+        }
+    )
+    got_ds, _ = bfs_hops(G.from_arrow_edges(t), 0, num_partitions=3)
+    got = got_ds.to_pandas()
+    # island 2 must be absent from the output
+    assert (got["vertex"] < 1000).all()
+    want = _py_bfs(t["src"].to_numpy(), t["dst"].to_numpy(), 0)
+    assert got.set_index("vertex")["dist"].to_dict() == want
+
+
+def test_bfs_deterministic_across_partitioning():
+    rng = np.random.default_rng(47)
+    t = pa.table(
+        {
+            "src": rng.integers(0, 300, 2000).astype(np.int64),
+            "dst": rng.integers(0, 300, 2000).astype(np.int64),
+        }
+    )
+    a, _ = bfs_hops(G.from_arrow_edges(t), 5, num_partitions=1)
+    b, _ = bfs_hops(G.from_arrow_edges(t), 5, num_partitions=9)
+    pa_, pb = a.to_pandas().sort_values("vertex"), b.to_pandas().sort_values("vertex")
+    assert pa_.reset_index(drop=True).equals(pb.reset_index(drop=True))
