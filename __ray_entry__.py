@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type_per_user": R.top_event_type_per_user,
         "degree_histogram": R.degree_histogram,
         "approx_distinct_users": R.approx_distinct_users_kmv,
+        "approx_users_per_event_type": R.approx_users_per_event_type,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -963,6 +964,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events
+        """,
+        "approx_users_per_event_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "order_price_quantiles_by_priority": """
             SELECT o_orderpriority,

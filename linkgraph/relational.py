@@ -918,6 +918,20 @@ def approx_distinct_users_kmv(sf_dir: str) -> rd.Dataset:
     )
 
 
+def approx_users_per_event_type(sf_dir: str) -> rd.Dataset:
+    """Distinct users per event type via per-key KMV sketches — the
+    no-raw-shuffle twin of ``users_per_event_type`` (value-checked in the
+    exact regime, k ≫ distinct users at every test scale)."""
+    from linkgraph.sketch import approx_distinct_by_key
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = approx_distinct_by_key(ev, "event_type", "user_id", k=1 << 16)
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow",
+    )
+
+
 # -- dedup with SQL oracle ---------------------------------------------------
 
 def exact_dedup_docs(sf_dir: str) -> rd.Dataset:

@@ -81,6 +81,105 @@ def kmv_estimate(sketch: np.ndarray, k: int) -> float:
     return (k - 1) * (2.0 ** 64) / vk
 
 
+def _grouped_bottomk(g: np.ndarray, h: np.ndarray, k: int):
+    """Per-group bottom-k of distinct hashes; ``g`` may be any dtype
+    (string object arrays included).  Returns ``(group_firsts, counts,
+    flat_hashes)`` with groups contiguous and hashes sorted per group."""
+    order = np.lexsort((h, g))
+    g, h = g[order], h[order]
+    keep = np.empty(len(g), dtype=bool)
+    keep[0] = True
+    keep[1:] = (g[1:] != g[:-1]) | (h[1:] != h[:-1])
+    g, h = g[keep], h[keep]
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    np.not_equal(g[1:], g[:-1], out=change[1:])
+    run_id = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    rank = np.arange(len(g), dtype=np.int64) - starts[run_id]
+    sel = rank < k
+    g, h = g[sel], h[sel]
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    np.not_equal(g[1:], g[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, len(g)))
+    return g[starts], counts, h
+
+
+def approx_distinct_by_key(
+    ds: rd.Dataset, key: str, col: str, k: int = 1 << 16
+) -> rd.Dataset:
+    """Per-key approximate distinct count — one KMV sketch per key value.
+
+    Stage 1 (combiner): each block reduces to ≤ k hashes PER KEY as an
+    Arrow ``large_list`` column — one lexsort per block, no per-group
+    Python.  Stage 2: the tiny (n_blocks × n_keys)-row partial stream
+    hash-co-locates by key and merges vectorized.  The raw table is never
+    shuffled; a hot key costs ≤ k·n_blocks sketch entries, not its row
+    count — the sketch twin of ``relational.users_per_event_type``'s
+    exact pair-groupby plan.  Same exactness contract as
+    ``approx_distinct``: below-k keys report their EXACT distinct count.
+
+    Output: ``(key, n_approx: int64)``.
+    """
+    from linkgraph.relational import colocate_by_key
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t[key].type if t.num_columns else pa.string()),
+                    "mins": pa.array([], pa.large_list(pa.uint64())),
+                }
+            )
+        g = t[key].to_numpy(zero_copy_only=False)
+        h = _column_hashes(t[col])
+        firsts, counts, flat = _grouped_bottomk(g, h, k)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
+        )
+        return pa.table({key: pa.Array.from_pandas(firsts), "mins": lists})
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t[key].type if t.num_columns else pa.string()),
+                    "n_approx": pa.array([], pa.int64()),
+                }
+            )
+        lists = t["mins"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = np.asarray(
+            pa.compute.list_value_length(lists), dtype=np.int64
+        )
+        g = np.repeat(t[key].to_numpy(zero_copy_only=False), lens)
+        h = np.asarray(lists.flatten(), dtype=np.uint64)
+        firsts, counts, flat = _grouped_bottomk(g, h, k)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        est = counts.astype(np.float64)
+        full = counts >= k
+        if full.any():
+            vk = flat[offsets[1:][full] - 1].astype(np.float64) + 1.0
+            est[full] = (k - 1) * (2.0 ** 64) / vk
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(firsts),
+                "n_approx": pa.array(np.round(est).astype(np.int64)),
+            }
+        )
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial_block, batch_format="pyarrow"
+    )
+    return colocate_by_key(partials, key).map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def approx_distinct(ds: rd.Dataset, col: str, k: int = 1 << 16) -> float:
     """Approximate distinct count of ``ds[col]`` via a KMV sketch.
 

@@ -418,3 +418,51 @@ def test_cumulative_value_vs_pandas():
     df["cum_value"] = df.groupby("user_id")["vc"].cumsum() / 1e6
     want = df.sort_values("event_id").reset_index(drop=True)
     assert np.array_equal(got["cum_value"].to_numpy(), want["cum_value"].to_numpy())
+
+
+def test_grouped_kmv_exact_regime_vs_pandas():
+    from linkgraph.sketch import approx_distinct_by_key
+
+    rng = np.random.default_rng(53)
+    n = 30_000
+    t = pa.table(
+        {
+            "g": pa.array([f"type-{i}" for i in rng.integers(0, 7, n)]),
+            "x": rng.integers(0, 800, n).astype(np.int64),
+        }
+    )
+    got = (
+        approx_distinct_by_key(rd.from_arrow(t).repartition(6), "g", "x", k=1 << 12)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas().groupby("g")["x"].nunique().rename("n_approx").reset_index()
+    )
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["n_approx"].tolist() == want["n_approx"].tolist()
+
+
+def test_grouped_kmv_estimation_regime():
+    from linkgraph.sketch import approx_distinct_by_key
+
+    rng = np.random.default_rng(59)
+    k = 1024
+    # one key far above k, one far below
+    big = rng.permutation(40_000).astype(np.int64)
+    small = rng.integers(0, 100, 5_000).astype(np.int64)
+    t = pa.table(
+        {
+            "g": pa.array([0] * len(big) + [1] * len(small), pa.int64()),
+            "x": np.concatenate([big, small]),
+        }
+    )
+    got = (
+        approx_distinct_by_key(rd.from_arrow(t).repartition(5), "g", "x", k=k)
+        .to_pandas()
+        .set_index("g")["n_approx"]
+    )
+    assert got[1] == len(np.unique(small))  # exact regime
+    rel = abs(got[0] - 40_000) / 40_000
+    assert rel < 5.0 / np.sqrt(k - 2), rel
