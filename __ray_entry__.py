@@ -636,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": R.customer_order_stats,
         "funnel_click_purchase": R.funnel_click_purchase,
         "common_neighbors_top10": R.common_neighbors_topk,
+        "neighborhood_jaccard_top10": R.neighborhood_jaccard_topk,
         "user_cumulative_value": R.user_cumulative_value,
         "top_event_type_per_user": R.top_event_type_per_user,
         "degree_histogram": R.degree_histogram,
@@ -1069,6 +1070,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
             FROM wedges GROUP BY u, v
             ORDER BY n_common DESC, u, v LIMIT 10
+        """,
+        "neighborhood_jaccard_top10": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000 AS dst
+              FROM lineitem
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+            ),
+            wedges AS (
+              SELECT a.dst AS u, b.dst AS v
+              FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+            ),
+            cnt AS (
+              SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+              FROM wedges GROUP BY u, v
+            ),
+            deg AS (
+              SELECT src AS vertex, count(*) AS degree FROM sym GROUP BY 1
+            )
+            SELECT c.u, c.v, c.n_common,
+                   CAST(c.n_common AS DOUBLE)
+                       / (du.degree + dv.degree - c.n_common) AS jaccard
+            FROM cnt c
+            JOIN deg du ON du.vertex = c.u
+            JOIN deg dv ON dv.vertex = c.v
+            ORDER BY jaccard DESC, u, v LIMIT 10
         """,
         "kcore_planted": """
             WITH e AS (

@@ -789,7 +789,7 @@ def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000) -> rd.Dat
 
 
 def common_neighbors_topk(
-    sf_dir: str, k: int = 10, max_degree: int = 4096
+    sf_dir: str, k: int | None = 10, max_degree: int = 4096
 ) -> rd.Dataset:
     """Top-k vertex pairs by common-neighbor count on the order↔part graph
     (the link-prediction baseline score).
@@ -845,8 +845,63 @@ def common_neighbors_topk(
     counts = pairs.groupby(["u", "v"], num_partitions=_np()).aggregate(
         Count(alias_name="n_common")
     )
+    if k is None:
+        return counts
     return counts.sort(
         ["n_common", "u", "v"], descending=[True, False, False]
+    ).limit(k)
+
+
+def neighborhood_jaccard_topk(
+    sf_dir: str, k: int = 10, max_degree: int = 4096
+) -> rd.Dataset:
+    """Top-k vertex pairs by neighborhood Jaccard similarity
+    |N(u)∩N(v)| / |N(u)∪N(v)| on the order↔part graph — common-neighbor
+    counts normalized by degree, the size-invariant link-prediction score.
+
+    Shape: the shared wedge-count pipeline plus TWO dimension attaches
+    (degree of u, degree of v) via ``broadcast_join`` — the degree table
+    rides the object store once; past its row gate the join degrades to
+    the bucketed shuffle automatically.  The union size is inclusion-
+    exclusion (deg_u + deg_v − n_common), so no second wedge pass."""
+    from linkgraph.partition import broadcast_join
+
+    counts = common_neighbors_topk(sf_dir, k=None, max_degree=max_degree)
+    edges = edges_from_lineitem(sf_dir)
+    deg = G.undirected_degrees(G.canonicalize(edges, global_dedup=True))
+
+    def rename(old: str, new: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names]
+            )
+
+        return fn
+
+    du = deg.map_batches(rename("degree", "deg_u"), batch_format="pyarrow")
+    dv = deg.map_batches(rename("degree", "deg_v"), batch_format="pyarrow")
+    j1 = broadcast_join(counts, du, left_on="u", right_on="vertex")
+    j2 = broadcast_join(j1, dv, left_on="v", right_on="vertex")
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t["n_common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        un = (
+            t["deg_u"].to_numpy(zero_copy_only=False)
+            + t["deg_v"].to_numpy(zero_copy_only=False)
+            - t["n_common"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "n_common": t["n_common"],
+                "jaccard": pa.array(n / un),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["jaccard", "u", "v"], descending=[True, False, False]
     ).limit(k)
 
 

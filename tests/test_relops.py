@@ -466,3 +466,42 @@ def test_grouped_kmv_estimation_regime():
     assert got[1] == len(np.unique(small))  # exact regime
     rel = abs(got[0] - 40_000) / 40_000
     assert rel < 5.0 / np.sqrt(k - 2), rel
+
+
+def test_neighborhood_jaccard_vs_bruteforce():
+    import tempfile
+
+    from linkgraph.relational import neighborhood_jaccard_topk
+
+    rng = np.random.default_rng(61)
+    n = 2_000
+    t = pa.table(
+        {
+            "l_orderkey": rng.integers(0, 80, n).astype(np.int64),
+            "l_partkey": rng.integers(0, 30, n).astype(np.int64),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        got = _df(neighborhood_jaccard_topk(d, k=12))
+    src = t["l_orderkey"].to_numpy()
+    dst = t["l_partkey"].to_numpy() + 1_000_000_000
+    pairs = {(s, x) for s, x in zip(src, dst)}
+    counts = _brute_common_neighbors([p[0] for p in pairs], [p[1] for p in pairs])
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, x in pairs:
+        deg[s] += 1
+        deg[x] += 1
+    scored = [
+        (u, v, c, c / (deg[u] + deg[v] - c)) for (u, v), c in counts.items()
+    ]
+    want = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:12]
+    got_t = list(zip(got["u"], got["v"], got["n_common"], got["jaccard"]))
+    assert [(u, v, c) for u, v, c, _ in got_t] == [(u, v, c) for u, v, c, _ in want]
+    assert np.allclose([j for *_, j in got_t], [j for *_, j in want], atol=0.0)
