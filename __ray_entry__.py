@@ -59,6 +59,25 @@ def _bfs_membership(sf_dir: str):
     return dists
 
 
+def _nearest_region(sf_dir: str):
+    """Multi-source BFS on the membership graph from ALL region vertices:
+    per vertex, hop distance to the closest region and which one — one
+    packed-value propagation, not |regions| BFS runs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from linkgraph.bfs import bfs_nearest
+    from linkgraph.pipelines import membership_edges
+
+    regions = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    sources = [3_000_000_000 + r for r in regions]
+    out, _ = bfs_nearest(membership_edges(sf_dir), sources, num_partitions=8)
+    return out
+
+
 def _cc_frequent_label(sf_dir: str):
     """Seeded sample-mode estimate of the giant component's label (ref
     ``sample_frequent_element``, ``src/cc_openmp.c:422-496``), run in the
@@ -649,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph kernels, value-checked (DuckDB recursive/unrolled CTE oracles)
         "cc_membership": _cc_membership,
         "bfs_hops_membership": _bfs_membership,
+        "nearest_region_membership": _nearest_region,
         "cc_membership_from_mtx": _cc_membership_from_mtx,
         "cc_membership_sizes": _cc_membership_sizes,
         "cc_membership_summary": _cc_membership_summary,
@@ -1330,6 +1350,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY v
+        """,
+        "nearest_region_membership": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            walk(v, d, s) AS (
+              SELECT CAST(3000000000 AS BIGINT) + r_regionkey AS v, 0 AS d,
+                     CAST(3000000000 AS BIGINT) + r_regionkey AS s
+              FROM region
+              UNION
+              SELECT sym.dst, walk.d + 1, walk.s
+              FROM walk JOIN sym ON sym.src = walk.v WHERE walk.d < 8
+            ),
+            best AS (SELECT v, min(d) AS dist FROM walk GROUP BY v)
+            SELECT b.v AS vertex, CAST(b.dist AS BIGINT) AS dist,
+                   CAST(min(w.s) AS BIGINT) AS nearest
+            FROM best b JOIN walk w ON w.v = b.v AND w.d = b.dist
+            GROUP BY b.v, b.dist
         """,
         "cc_membership_from_mtx": """
             WITH RECURSIVE e AS (

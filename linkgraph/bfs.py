@@ -43,20 +43,20 @@ from linkgraph.partition import bucket_join
 _INF = np.iinfo(np.int64).max
 
 
-def bfs_hops(
+def _min_propagate(
     edges: rd.Dataset,
-    source: int,
-    *,
-    num_partitions: int | None = None,
-    max_iters: int = 1000,
+    seed_values: dict[int, int],
+    incr: int,
+    num_partitions: int | None,
+    max_iters: int,
 ) -> tuple[rd.Dataset, list[dict[str, Any]]]:
-    """Hop distance from ``source`` to every reachable vertex.
-
-    Returns ``(dists, metrics)``: ``dists`` has columns
-    ``(vertex: int64, dist: int64)`` and contains REACHED vertices only
-    (the SQL recursive-walk convention); ``metrics`` has one row per
-    superstep with the frontier size and wall time.
-    """
+    """Shared frontier min-propagation: state[v] starts at
+    ``seed_values[v]`` (INF elsewhere) and every superstep takes
+    ``min(state[v], min_u state[u] + incr)`` over neighbors — BFS for
+    ``incr=1``, multi-source nearest-seed for packed ``(dist, seed-index)``
+    values with ``incr = n_seeds`` (the +incr bumps the packed dist and
+    preserves the index).  Returns the final ``(vertex, dist, changed)``
+    state (dist = the packed value) and per-superstep metrics."""
     from linkgraph.runtime import tune_context
 
     tune_context()
@@ -64,16 +64,24 @@ def bfs_hops(
     sym = G.symmetrize_block(G.canonicalize(edges)).materialize()
     verts = G.vertices_of(sym, num_partitions)
 
-    src_val = np.int64(source)
+    seed_v = np.fromiter(seed_values.keys(), dtype=np.int64)
+    seed_d = np.fromiter(
+        (seed_values[int(v)] for v in seed_v), dtype=np.int64
+    )
+    order = np.argsort(seed_v, kind="stable")
+    seed_v, seed_d = seed_v[order], seed_d[order]
 
     def init(t: pa.Table) -> pa.Table:
         v = t["vertex"].to_numpy(zero_copy_only=False)
-        is_src = v == src_val
+        idx = np.searchsorted(seed_v, v)
+        idx_c = np.minimum(idx, len(seed_v) - 1)
+        hit = seed_v[idx_c] == v
+        d = np.where(hit, seed_d[idx_c], _INF).astype(np.int64)
         return pa.table(
             {
                 "vertex": t["vertex"],
-                "dist": pa.array(np.where(is_src, 0, _INF).astype(np.int64)),
-                "changed": pa.array(is_src.astype(np.int8)),
+                "dist": pa.array(d),
+                "changed": pa.array(hit.astype(np.int8)),
             }
         )
 
@@ -105,7 +113,7 @@ def bfs_hops(
             lambda t: pa.table(
                 {
                     "vertex": t["dst"],
-                    "dist": pc.add(t["dist"], 1),
+                    "dist": pc.add(t["dist"], incr),
                     "old": pa.array(np.full(len(t), _INF, dtype=np.int64)),
                 }
             ),
@@ -151,3 +159,59 @@ def bfs_hops(
         batch_format="pyarrow",
     )
     return dists, metrics
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    source: int,
+    *,
+    num_partitions: int | None = None,
+    max_iters: int = 1000,
+) -> tuple[rd.Dataset, list[dict[str, Any]]]:
+    """Hop distance from ``source`` to every reachable vertex.
+
+    Returns ``(dists, metrics)``: ``dists`` has columns
+    ``(vertex: int64, dist: int64)`` and contains REACHED vertices only
+    (the SQL recursive-walk convention); ``metrics`` has one row per
+    superstep with the frontier size and wall time.
+    """
+    return _min_propagate(edges, {int(source): 0}, 1, num_partitions, max_iters)
+
+
+def bfs_nearest(
+    edges: rd.Dataset,
+    sources: list[int],
+    *,
+    num_partitions: int | None = None,
+    max_iters: int = 1000,
+) -> tuple[rd.Dataset, list[dict[str, Any]]]:
+    """Multi-source BFS: for every reachable vertex, the hop distance to
+    the CLOSEST source and which source it is (ties → smallest source id)
+    — the nearest-hub / nearest-replica assignment, one propagation for
+    ALL sources instead of |sources| separate BFS runs.
+
+    Mechanism: values are packed as ``dist · P + source_index`` with the
+    sources sorted ascending and ``P = len(sources)``, so the shared
+    min-propagation's ``+P`` bumps the distance while preserving the
+    index, and the plain integer min IS the lexicographic
+    ``(dist, source)`` min.  Output columns ``(vertex, dist, nearest)``.
+    """
+    srcs = sorted(int(s) for s in sources)
+    if len(set(srcs)) != len(srcs):
+        raise ValueError("bfs_nearest: duplicate sources")
+    P = len(srcs)
+    seeds = {s: i for i, s in enumerate(srcs)}
+    packed, metrics = _min_propagate(edges, seeds, P, num_partitions, max_iters)
+    src_arr = np.asarray(srcs, dtype=np.int64)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["dist"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vertex": t["vertex"],
+                "dist": pa.array(p // P),
+                "nearest": pa.array(src_arr[p % P]),
+            }
+        )
+
+    return packed.map_batches(unpack, batch_format="pyarrow"), metrics

@@ -92,3 +92,42 @@ def test_bfs_deterministic_across_partitioning():
     b, _ = bfs_hops(G.from_arrow_edges(t), 5, num_partitions=9)
     pa_, pb = a.to_pandas().sort_values("vertex"), b.to_pandas().sort_values("vertex")
     assert pa_.reset_index(drop=True).equals(pb.reset_index(drop=True))
+
+
+def test_bfs_nearest_ties_and_labels():
+    from linkgraph.bfs import bfs_nearest
+
+    # path graph 0-1-2-3-4 with sources {0, 4}: vertex 2 ties -> source 0
+    t = pa.table(
+        {
+            "src": np.array([0, 1, 2, 3], dtype=np.int64),
+            "dst": np.array([1, 2, 3, 4], dtype=np.int64),
+        }
+    )
+    out, _ = bfs_nearest(G.from_arrow_edges(t), [4, 0], num_partitions=3)
+    got = out.to_pandas().set_index("vertex").sort_index()
+    assert got["dist"].tolist() == [0, 1, 2, 1, 0]
+    assert got["nearest"].tolist() == [0, 0, 0, 4, 4]
+
+
+def test_bfs_nearest_matches_per_source_bfs():
+    from linkgraph.bfs import bfs_nearest
+
+    rng = np.random.default_rng(67)
+    t = pa.table(
+        {
+            "src": rng.integers(0, 150, 1200).astype(np.int64),
+            "dst": rng.integers(0, 150, 1200).astype(np.int64),
+        }
+    )
+    sources = [3, 77, 142]
+    out, _ = bfs_nearest(G.from_arrow_edges(t), sources, num_partitions=4)
+    got = out.to_pandas().set_index("vertex").sort_index()
+    dists = {
+        s: _py_bfs(t["src"].to_numpy(), t["dst"].to_numpy(), s) for s in sources
+    }
+    for v, row in got.iterrows():
+        best = min(
+            (d.get(v, 1 << 60), s) for s, d in dists.items()
+        )
+        assert (row["dist"], row["nearest"]) == best, v
