@@ -661,6 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": R.degree_histogram,
         "approx_distinct_users": R.approx_distinct_users_kmv,
         "approx_users_per_event_type": R.approx_users_per_event_type,
+        "events_hopping_window": R.events_hopping_window,
+        "event_type_cooccurrence": R.event_type_cooccurrence,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -989,6 +991,23 @@ def oracle_sql() -> dict[str, str]:
         "approx_users_per_event_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_hopping_window": """
+            SELECT make_timestamp(
+                     (epoch_us(ts) // 900000000) * 900000000 - t.i * 900000000
+                   ) AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events, range(0, 4) t(i)
+            GROUP BY window_start, event_type
+        """,
+        "event_type_cooccurrence": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p a JOIN p b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY type_a, type_b
         """,
         "order_price_quantiles_by_priority": """
             SELECT o_orderpriority,

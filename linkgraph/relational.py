@@ -788,6 +788,38 @@ def funnel_click_purchase(sf_dir: str, window_us: int = 3_600_000_000) -> rd.Dat
     )
 
 
+def _pairs_within_groups(
+    g: np.ndarray, vals: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (a < b) of ``vals`` sharing a ``g`` value, emitted
+    by pure index arithmetic (one lexsort + repeat/cumsum — no per-group
+    Python).  Groups larger than ``cap`` are dropped (the quadratic-hub
+    cut).  ``vals`` may be ints or strings; the within-group sort makes
+    ``a < b`` hold by construction."""
+    order = np.lexsort((vals, g))
+    g, vals = g[order], vals[order]
+    run_id, starts = _group_runs(g)
+    d = np.diff(np.append(starts, len(g)))
+    ok = d <= cap
+    if not ok.all():
+        keep = ok[run_id]
+        g, vals = g[keep], vals[keep]
+        if len(g) == 0:
+            return vals[:0], vals[:0]
+        run_id, starts = _group_runs(g)
+        d = d[ok]
+    pos = np.arange(len(g), dtype=np.int64) - starts[run_id]
+    cnt = d[run_id] - 1 - pos  # pairs led by this row
+    total = int(cnt.sum())
+    if total == 0:
+        return vals[:0], vals[:0]
+    a_row = np.repeat(np.arange(len(g), dtype=np.int64), cnt)
+    row_start = np.cumsum(cnt) - cnt
+    seq = np.arange(total, dtype=np.int64) - row_start[a_row]
+    b_row = a_row + 1 + seq
+    return vals[a_row], vals[b_row]
+
+
 def common_neighbors_topk(
     sf_dir: str, k: int | None = 10, max_degree: int = 4096
 ) -> rd.Dataset:
@@ -813,31 +845,14 @@ def common_neighbors_topk(
         )
         if t.num_columns == 0 or len(t) == 0:
             return empty
-        mid = t["src"].to_numpy(zero_copy_only=False)
-        nbr = t["dst"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nbr, mid))
-        mid, nbr = mid[order], nbr[order]
-        run_id, starts = _group_runs(mid)
-        d = np.diff(np.append(starts, len(mid)))
-        ok = d <= max_degree
-        if not ok.all():
-            keep = ok[run_id]
-            mid, nbr = mid[keep], nbr[keep]
-            if len(mid) == 0:
-                return empty
-            run_id, starts = _group_runs(mid)
-            d = d[ok]
-        pos = np.arange(len(mid), dtype=np.int64) - starts[run_id]
-        cnt = d[run_id] - 1 - pos  # pairs led by this row
-        total = int(cnt.sum())
-        if total == 0:
+        a, b = _pairs_within_groups(
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False),
+            max_degree,
+        )
+        if len(a) == 0:
             return empty
-        a_row = np.repeat(np.arange(len(mid), dtype=np.int64), cnt)
-        row_start = np.cumsum(cnt) - cnt
-        seq = np.arange(total, dtype=np.int64) - row_start[a_row]
-        b_row = a_row + 1 + seq
-        # dst sorted within each middle's run => nbr[a_row] < nbr[b_row]
-        return pa.table({"u": pa.array(nbr[a_row]), "v": pa.array(nbr[b_row])})
+        return pa.table({"u": pa.array(a), "v": pa.array(b)})
 
     pairs = colocate_by_key(sym, "src").map_batches(
         emit_pairs, batch_format="pyarrow", batch_size=None
@@ -970,6 +985,97 @@ def approx_distinct_users_kmv(sf_dir: str) -> rd.Dataset:
     est = approx_distinct(ev, "user_id", k=1 << 16)
     return rd.from_arrow(
         pa.table({"n_users": pa.array([int(round(est))], pa.int64())})
+    )
+
+
+def events_hopping_window(
+    sf_dir: str,
+    size_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+) -> rd.Dataset:
+    """Hopping (sliding) window counts: events per OVERLAPPING 1-hour
+    window advancing every 15 minutes, per event type — the window family
+    member tumbling (``events_hourly``) and session (``user_sessions``)
+    windows don't cover.
+
+    Each event belongs to exactly ``size/hop`` windows, so the map stage
+    replicates rows that many times with the window start computed by
+    integer epoch arithmetic (exact), and ONE hash-partial groupby counts
+    — streaming, no sort, replication factor is the constant window/hop
+    ratio."""
+    if size_us % hop_us:
+        raise ValueError("events_hopping_window: size must be a hop multiple")
+    n = size_us // hop_us
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        base = (ts // hop_us) * hop_us
+        starts = (
+            base[:, None] - np.arange(n, dtype=np.int64)[None, :] * hop_us
+        ).reshape(-1)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": pa.array(starts.view("datetime64[us]")),
+                "event_type": pa.array(np.repeat(et, n)),
+            }
+        )
+
+    return (
+        ev.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"], num_partitions=_np())
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def event_type_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """For every pair of event types, how many distinct users produced
+    BOTH — the co-occurrence / market-basket matrix, built on the shared
+    within-group pair emitter: global-distinct (user, type) pairs via one
+    pair-keyed groupby, co-locate by user, emit type pairs by index
+    arithmetic, hash-partial count.  A power user costs at most
+    |types|² pair rows — bounded by the type vocabulary, not their event
+    count."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ev.groupby(["user_id", "event_type"], num_partitions=_np()).aggregate(
+        Count(alias_name="_n")
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                }
+            )
+        a, b = _pairs_within_groups(
+            t["user_id"].to_numpy(zero_copy_only=False),
+            t["event_type"].to_numpy(zero_copy_only=False),
+            1 << 20,
+        )
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                }
+            )
+        return pa.table({"type_a": pa.array(a), "type_b": pa.array(b)})
+
+    co = colocate_by_key(pairs, "user_id").map_batches(
+        emit, batch_format="pyarrow", batch_size=None
+    )
+    return co.groupby(["type_a", "type_b"], num_partitions=_np()).aggregate(
+        Count(alias_name="n_users")
     )
 
 
