@@ -78,6 +78,30 @@ def _nearest_region(sf_dir: str):
     return out
 
 
+def _sssp_membership(sf_dir: str):
+    """Weighted single-source shortest paths on the membership graph from
+    region 0, with deterministic closed-form weights w = 1 + (src+dst) % 3
+    computed AFTER dedup — identical in the engine and the SQL walk, so
+    the oracle needs no knowledge of engine internals."""
+    from linkgraph.bfs import sssp
+    from linkgraph.pipelines import membership_edges
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": pa.array(1 + (s + d) % 3),
+            }
+        )
+
+    edges = membership_edges(sf_dir).map_batches(add_w, batch_format="pyarrow")
+    out, _ = sssp(edges, 3_000_000_000, num_partitions=8)
+    return out
+
+
 def _cc_frequent_label(sf_dir: str):
     """Seeded sample-mode estimate of the giant component's label (ref
     ``sample_frequent_element``, ``src/cc_openmp.c:422-496``), run in the
@@ -671,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_membership": _cc_membership,
         "bfs_hops_membership": _bfs_membership,
         "nearest_region_membership": _nearest_region,
+        "sssp_membership": _sssp_membership,
         "cc_membership_from_mtx": _cc_membership_from_mtx,
         "cc_membership_sizes": _cc_membership_sizes,
         "cc_membership_summary": _cc_membership_summary,
@@ -1366,6 +1391,29 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT sym.dst, walk.d + 1 FROM walk JOIN sym ON sym.src = walk.v
               WHERE walk.d < 8
+            )
+            SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY v
+        """,
+        "sssp_membership": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            ew AS (SELECT src, dst, 1 + (src + dst) % 3 AS w FROM e),
+            sym AS (
+              SELECT src, dst, w FROM ew
+              UNION ALL SELECT dst AS src, src AS dst, w FROM ew
+            ),
+            walk(v, d) AS (
+              SELECT CAST(3000000000 AS BIGINT) AS v, CAST(0 AS BIGINT) AS d
+              UNION
+              SELECT sym.dst, walk.d + sym.w
+              FROM walk JOIN sym ON sym.src = walk.v
+              WHERE walk.d + sym.w < 16
             )
             SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY v

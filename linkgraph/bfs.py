@@ -49,19 +49,40 @@ def _min_propagate(
     incr: int,
     num_partitions: int | None,
     max_iters: int,
+    weight_col: str | None = None,
 ) -> tuple[rd.Dataset, list[dict[str, Any]]]:
     """Shared frontier min-propagation: state[v] starts at
     ``seed_values[v]`` (INF elsewhere) and every superstep takes
     ``min(state[v], min_u state[u] + incr)`` over neighbors — BFS for
     ``incr=1``, multi-source nearest-seed for packed ``(dist, seed-index)``
     values with ``incr = n_seeds`` (the +incr bumps the packed dist and
-    preserves the index).  Returns the final ``(vertex, dist, changed)``
-    state (dist = the packed value) and per-superstep metrics."""
+    preserves the index).  With ``weight_col`` set, ``edges`` must carry a
+    non-negative int64 weight column and the update becomes
+    ``min(state[v], min_u state[u] + w(u,v))`` — Bellman-Ford supersteps
+    (SSSP); ``incr`` is ignored.  Returns the final ``(vertex, dist,
+    changed)`` state (dist = the packed value) and per-superstep metrics."""
     from linkgraph.runtime import tune_context
 
     tune_context()
     num_partitions = num_partitions or G.default_partitions()
-    sym = G.symmetrize_block(G.canonicalize(edges)).materialize()
+    if weight_col is None:
+        sym = G.symmetrize_block(G.canonicalize(edges)).materialize()
+    else:
+        def sym_w(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            w = t[weight_col].to_numpy(zero_copy_only=False)
+            keep = s != d  # self loops never improve a distance
+            s, d, w = s[keep], d[keep], w[keep]
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([s, d])),
+                    "dst": pa.array(np.concatenate([d, s])),
+                    "w": pa.array(np.concatenate([w, w]).astype(np.int64)),
+                }
+            )
+
+        sym = edges.map_batches(sym_w, batch_format="pyarrow").materialize()
     verts = G.vertices_of(sym, num_partitions)
 
     seed_v = np.fromiter(seed_values.keys(), dtype=np.int64)
@@ -102,23 +123,28 @@ def _min_propagate(
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        lpay = {"dst": pa.int64()}
+        if weight_col is not None:
+            lpay["w"] = pa.int64()
+
+        def to_cand(t: pa.Table) -> pa.Table:
+            bump = t["w"] if weight_col is not None else incr
+            return pa.table(
+                {
+                    "vertex": t["dst"],
+                    "dist": pc.add(t["dist"], bump),
+                    "old": pa.array(np.full(len(t), _INF, dtype=np.int64)),
+                }
+            )
+
         cand = bucket_join(
             sym,
             frontier,
             ["src"],
             num_buckets=num_partitions,
-            left_payload={"dst": pa.int64()},
+            left_payload=lpay,
             right_payload={"dist": pa.int64()},
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "vertex": t["dst"],
-                    "dist": pc.add(t["dist"], incr),
-                    "old": pa.array(np.full(len(t), _INF, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        ).map_batches(to_cand, batch_format="pyarrow")
         own = state.map_batches(
             lambda t: pa.table(
                 {"vertex": t["vertex"], "dist": t["dist"], "old": t["dist"]}
@@ -215,3 +241,23 @@ def bfs_nearest(
         )
 
     return packed.map_batches(unpack, batch_format="pyarrow"), metrics
+
+
+def sssp(
+    edges: rd.Dataset,
+    source: int,
+    *,
+    weight_col: str = "w",
+    num_partitions: int | None = None,
+    max_iters: int = 1000,
+) -> tuple[rd.Dataset, list[dict[str, Any]]]:
+    """Single-source shortest paths over non-negative int64 edge weights
+    (undirected; parallel edges are all propagated, so the min naturally
+    keeps the lightest).  Bellman-Ford frontier supersteps: converges in
+    as many rounds as the longest HOP count of any shortest path — the
+    BFS bound, not V — because frontiers only carry improved vertices.
+    Output ``(vertex, dist)``, reached vertices only."""
+    return _min_propagate(
+        edges, {int(source): 0}, 0, num_partitions, max_iters,
+        weight_col=weight_col,
+    )

@@ -131,3 +131,67 @@ def test_bfs_nearest_matches_per_source_bfs():
             (d.get(v, 1 << 60), s) for s, d in dists.items()
         )
         assert (row["dist"], row["nearest"]) == best, v
+
+
+def _py_dijkstra(src_arr, dst_arr, w_arr, source):
+    import heapq
+
+    adj = {}
+    for s, d, w in zip(src_arr, dst_arr, w_arr):
+        if s == d:
+            continue
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        dv, v = heapq.heappop(pq)
+        if dv > dist.get(v, 1 << 60):
+            continue
+        for u, w in adj.get(v, ()):
+            nd = dv + w
+            if nd < dist.get(u, 1 << 60):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return dist
+
+
+def test_sssp_vs_dijkstra():
+    from linkgraph.bfs import sssp
+
+    rng = np.random.default_rng(71)
+    n = 1_500
+    t = pa.table(
+        {
+            "src": rng.integers(0, 120, n).astype(np.int64),
+            "dst": rng.integers(0, 120, n).astype(np.int64),
+            "w": rng.integers(1, 10, n).astype(np.int64),
+        }
+    )
+    out, _ = sssp(rd_from(t), 7, num_partitions=4)
+    got = out.to_pandas().set_index("vertex")["dist"].to_dict()
+    want = _py_dijkstra(
+        t["src"].to_numpy(), t["dst"].to_numpy(), t["w"].to_numpy(), 7
+    )
+    assert got == want
+
+
+def test_sssp_parallel_edges_keep_lightest():
+    from linkgraph.bfs import sssp
+
+    t = pa.table(
+        {
+            "src": pa.array([0, 0, 1], pa.int64()),
+            "dst": pa.array([1, 1, 2], pa.int64()),
+            "w": pa.array([5, 2, 3], pa.int64()),
+        }
+    )
+    out, _ = sssp(rd_from(t), 0, num_partitions=2)
+    got = out.to_pandas().set_index("vertex")["dist"].to_dict()
+    assert got == {0: 0, 1: 2, 2: 5}
+
+
+def rd_from(t):
+    import ray.data as rd
+
+    return rd.from_arrow(t)
