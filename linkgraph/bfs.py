@@ -50,6 +50,8 @@ def _min_propagate(
     num_partitions: int | None,
     max_iters: int,
     weight_col: str | None = None,
+    checkpointer=None,
+    resume: bool = False,
 ) -> tuple[rd.Dataset, list[dict[str, Any]]]:
     """Shared frontier min-propagation: state[v] starts at
     ``seed_values[v]`` (INF elsewhere) and every superstep takes
@@ -106,10 +108,24 @@ def _min_propagate(
             }
         )
 
-    state = verts.map_batches(init, batch_format="pyarrow").materialize()
     metrics: list[dict[str, Any]] = []
+    state = None
+    start = 0
+    if resume and checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            it0, state, meta = latest
+            start = it0 + 1
+            metrics.append(meta)
+    if state is None:
+        state = verts.map_batches(init, batch_format="pyarrow")
+        if checkpointer is not None:
+            state = checkpointer.save(0, state, {"phase": "init"})
+            start = 1
+        else:
+            state = state.materialize()
 
-    for it in range(max_iters):
+    for it in range(start, start + max_iters):
         t0 = time.perf_counter()
         frontier = state.map_batches(
             lambda t: pa.table(
@@ -167,18 +183,22 @@ def _min_propagate(
                 }
             ),
             batch_format="pyarrow",
-        ).materialize()
-        # re-root the state on the materialized blocks: materialize() keeps
-        # the full logical plan, and O(diameter) supersteps of accreted
-        # lineage overflow the interpreter's recursion limit on plan walks
-        state = rd.from_arrow_refs(mat.to_arrow_refs())
-        metrics.append(
-            {
-                "superstep": it,
-                "frontier": int(n_frontier),
-                "sec": time.perf_counter() - t0,
-            }
         )
+        step_meta = {
+            "superstep": it,
+            "frontier": int(n_frontier),
+        }
+        if checkpointer is not None:
+            # Checkpointer.save also severs lineage (Parquet re-read or
+            # block-ref rebuild), so the loop stays recursion-safe
+            state = checkpointer.save(it, mat, step_meta)
+        else:
+            mat = mat.materialize()
+            # re-root the state on the materialized blocks: materialize()
+            # keeps the full logical plan, and O(diameter) supersteps of
+            # accreted lineage overflow the recursion limit on plan walks
+            state = rd.from_arrow_refs(mat.to_arrow_refs())
+        metrics.append({**step_meta, "sec": time.perf_counter() - t0})
 
     dists = state.map_batches(
         lambda t: t.filter(pc.less(t["dist"], _INF)).select(["vertex", "dist"]),
@@ -193,15 +213,21 @@ def bfs_hops(
     *,
     num_partitions: int | None = None,
     max_iters: int = 1000,
+    checkpointer=None,
+    resume: bool = False,
 ) -> tuple[rd.Dataset, list[dict[str, Any]]]:
     """Hop distance from ``source`` to every reachable vertex.
 
     Returns ``(dists, metrics)``: ``dists`` has columns
     ``(vertex: int64, dist: int64)`` and contains REACHED vertices only
     (the SQL recursive-walk convention); ``metrics`` has one row per
-    superstep with the frontier size and wall time.
-    """
-    return _min_propagate(edges, {int(source): 0}, 1, num_partitions, max_iters)
+    superstep with the frontier size and wall time.  ``checkpointer`` /
+    ``resume`` follow the kernel-family contract (``Checkpointer`` per
+    superstep; resume restarts from the latest saved state)."""
+    return _min_propagate(
+        edges, {int(source): 0}, 1, num_partitions, max_iters,
+        checkpointer=checkpointer, resume=resume,
+    )
 
 
 def bfs_nearest(
@@ -250,6 +276,8 @@ def sssp(
     weight_col: str = "w",
     num_partitions: int | None = None,
     max_iters: int = 1000,
+    checkpointer=None,
+    resume: bool = False,
 ) -> tuple[rd.Dataset, list[dict[str, Any]]]:
     """Single-source shortest paths over non-negative int64 edge weights
     (undirected; parallel edges are all propagated, so the min naturally
@@ -259,5 +287,5 @@ def sssp(
     Output ``(vertex, dist)``, reached vertices only."""
     return _min_propagate(
         edges, {int(source): 0}, 0, num_partitions, max_iters,
-        weight_col=weight_col,
+        weight_col=weight_col, checkpointer=checkpointer, resume=resume,
     )

@@ -195,3 +195,29 @@ def rd_from(t):
     import ray.data as rd
 
     return rd.from_arrow(t)
+
+
+def test_bfs_checkpoint_resume(tmp_path):
+    from linkgraph.bfs import bfs_hops
+    from linkgraph.checkpoint import Checkpointer
+
+    rng = np.random.default_rng(73)
+    t = pa.table(
+        {
+            "src": rng.integers(0, 200, 1500).astype(np.int64),
+            "dst": rng.integers(0, 200, 1500).astype(np.int64),
+        }
+    )
+    ck = Checkpointer(str(tmp_path), "bfsjob")
+    full, _ = bfs_hops(
+        G.from_arrow_edges(t), 3, num_partitions=3, checkpointer=ck
+    )
+    want = full.to_pandas().sort_values("vertex").reset_index(drop=True)
+    # resume from the saved state: must converge immediately to the same map
+    ck2 = Checkpointer(str(tmp_path), "bfsjob")
+    again, metrics = bfs_hops(
+        G.from_arrow_edges(t), 3, num_partitions=5,
+        checkpointer=ck2, resume=True,
+    )
+    got = again.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert got.equals(want)
