@@ -7,7 +7,9 @@ cluster.  Submit with e.g.::
         python -m linkgraph cc --edges s3://bucket/edges/ --output /out/labels
 
 Subcommands mirror the kernel surface: ``cc``, ``pagerank``, ``labelprop``,
-``triangles``, ``extract-cc`` (pages parquet → href edges → components).
+``triangles``, ``bfs``, ``sssp`` (parquet-only — the MTX reader discards
+edge values, reference parity), ``extract-cc`` (pages parquet → href
+edges → components).
 Results are written as partitioned Parquet (resumable output — one file per
 block, never one giant file) and a one-line JSON summary goes to stdout.
 
@@ -81,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--mode", default="auto",
                             choices=["auto", "broadcast", "shuffle"])
 
+    sp = sub.add_parser("bfs")
+    src_grp = sp.add_mutually_exclusive_group(required=True)
+    src_grp.add_argument("--edges", help="edge parquet (src, dst)")
+    src_grp.add_argument("--mtx", help="Matrix Market edge-list file")
+    sp.add_argument("--source", type=int, required=True, help="source vertex id")
+    common(sp)
+
+    # sssp is parquet-only: the MTX reader discards edge values by design
+    # (reference parity, src/mtx_reader.c:153-156)
+    sp = sub.add_parser("sssp")
+    sp.add_argument("--edges", required=True, help="edge parquet (src, dst, w)")
+    sp.add_argument("--source", type=int, required=True, help="source vertex id")
+    sp.add_argument("--weight-col", default="w")
+    common(sp)
+
     sp = sub.add_parser("extract-cc")
     sp.add_argument("--pages", required=True,
                     help="pages parquet (url, warc_ts, html, text, lang)")
@@ -134,6 +151,33 @@ def main(argv: list[str] | None = None) -> int:
         res.ranks.write_parquet(args.output)
         summary = {"cmd": "pagerank", "num_vertices": res.num_vertices,
                    "iterations": res.num_iterations}
+    elif args.cmd == "bfs":
+        from linkgraph.bfs import bfs_hops
+
+        dists, metrics = bfs_hops(
+            _edge_input(args),
+            args.source,
+            num_partitions=args.num_partitions,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+        )
+        dists.write_parquet(args.output)
+        summary = {"cmd": "bfs", "source": args.source,
+                   "supersteps": len(metrics)}
+    elif args.cmd == "sssp":
+        from linkgraph.bfs import sssp
+
+        dists, metrics = sssp(
+            _edges(args.edges, ["src", "dst", args.weight_col]),
+            args.source,
+            weight_col=args.weight_col,
+            num_partitions=args.num_partitions,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+        )
+        dists.write_parquet(args.output)
+        summary = {"cmd": "sssp", "source": args.source,
+                   "supersteps": len(metrics)}
     elif args.cmd == "triangles":
         from linkgraph.triangles import triangle_count
 

@@ -47,3 +47,32 @@ def test_cli_cc_from_mtx(tmp_path, capsys):
     lab = dict(zip(got["vertex"].to_numpy(), got["label"].to_numpy()))
     for v, l in lab.items():
         assert l == expected[v]
+
+
+def test_cli_bfs_and_sssp(tmp_path, capsys):
+    import pyarrow as pa
+
+    # chain 0-1-2-3 with weights 2,3,4
+    t = pa.table(
+        {
+            "src": np.array([0, 1, 2], dtype=np.int64),
+            "dst": np.array([1, 2, 3], dtype=np.int64),
+            "w": np.array([2, 3, 4], dtype=np.int64),
+        }
+    )
+    inp = str(tmp_path / "wedges.parquet")
+    pq.write_table(t, inp)
+
+    out_b = str(tmp_path / "bfs_out")
+    assert main(["bfs", "--edges", inp, "--source", "0",
+                 "--output", out_b, "--num-partitions", "2"]) == 0
+    got = pq.read_table(out_b).to_pandas().set_index("vertex")["dist"].to_dict()
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    summ = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summ["cmd"] == "bfs" and summ["supersteps"] == 4
+
+    out_s = str(tmp_path / "sssp_out")
+    assert main(["sssp", "--edges", inp, "--source", "0",
+                 "--output", out_s, "--num-partitions", "2"]) == 0
+    got = pq.read_table(out_s).to_pandas().set_index("vertex")["dist"].to_dict()
+    assert got == {0: 0, 1: 2, 2: 5, 3: 9}
