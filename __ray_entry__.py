@@ -687,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_per_event_type": R.approx_users_per_event_type,
         "events_hopping_window": R.events_hopping_window,
         "event_type_cooccurrence": R.event_type_cooccurrence,
+        "doc_packing_bins": R.doc_packing_bins,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -1033,6 +1034,13 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY type_a, type_b
+        """,
+        "doc_packing_bins": """
+            SELECT doc_id, n_chars,
+                   CAST((sum(n_chars) OVER (
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) - n_chars) // 100000 AS BIGINT) AS bin_id
+            FROM documents
         """,
         "order_price_quantiles_by_priority": """
             SELECT o_orderpriority,

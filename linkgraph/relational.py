@@ -1093,6 +1093,68 @@ def approx_users_per_event_type(sf_dir: str) -> rd.Dataset:
     )
 
 
+def global_prefix_sum(
+    ds: rd.Dataset, order_col: str, val_col: str
+) -> rd.Dataset:
+    """Distributed exclusive prefix sum (scan): for every row, the sum of
+    ``val_col`` over all rows strictly BEFORE it in global ``order_col``
+    order — ``sum(v) OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) − v``.
+
+    Classic two-phase scan: ONE range exchange (sort by the order column),
+    a tiny per-block-total round (one int64 per block reaches the driver —
+    O(num_blocks) state, independent of data size), then each block adds
+    its exclusive block offset to a local integer cumsum.  Exact int64
+    math throughout.  Output: input columns + ``prefix``.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _blk_sum(t: pa.Table) -> int:
+        return int(t[val_col].to_numpy(zero_copy_only=False).sum())
+
+    @ray.remote(num_cpus=0)
+    def _with_prefix(t: pa.Table, offset: int) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return t.append_column("prefix", pa.array([], pa.int64()))
+        cs = np.cumsum(v)
+        pre = np.empty_like(cs)
+        pre[0] = offset
+        pre[1:] = offset + cs[:-1]
+        return t.append_column("prefix", pa.array(pre))
+
+    parted = ds.sort(order_col).materialize()
+    refs = parted.to_arrow_refs()
+    sums = np.asarray(ray.get([_blk_sum.remote(r) for r in refs]), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if len(sums) else sums
+    out_refs = [
+        _with_prefix.remote(r, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def doc_packing_bins(sf_dir: str, budget: int = 100_000) -> rd.Dataset:
+    """Pack documents (in doc_id order) into contiguous bins of ≤ ``budget``
+    total chars-as-token-proxy — the sequence-packing step of a training
+    data pipeline, as a distributed prefix scan: ``bin_id =
+    prefix_chars // budget``.  Deterministic at any parallelism; the
+    per-bin totals roll up with one hash-partial groupby."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    scanned = global_prefix_sum(docs, "doc_id", "n_chars")
+
+    def binize(t: pa.Table) -> pa.Table:
+        p = t["prefix"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "bin_id": pa.array(p // budget),
+            }
+        )
+
+    return scanned.map_batches(binize, batch_format="pyarrow")
+
+
 # -- dedup with SQL oracle ---------------------------------------------------
 
 def exact_dedup_docs(sf_dir: str) -> rd.Dataset:

@@ -505,3 +505,25 @@ def test_neighborhood_jaccard_vs_bruteforce():
     got_t = list(zip(got["u"], got["v"], got["n_common"], got["jaccard"]))
     assert [(u, v, c) for u, v, c, _ in got_t] == [(u, v, c) for u, v, c, _ in want]
     assert np.allclose([j for *_, j in got_t], [j for *_, j in want], atol=0.0)
+
+
+def test_global_prefix_sum_vs_pandas():
+    from linkgraph.relational import global_prefix_sum
+
+    rng = np.random.default_rng(79)
+    n = 8_000
+    t = pa.table(
+        {
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        _df(global_prefix_sum(rd.from_arrow(t).repartition(7), "o", "v"))
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values("o").reset_index(drop=True)
+    df["prefix"] = df["v"].cumsum() - df["v"]
+    assert got["prefix"].tolist() == df["prefix"].tolist()
+    assert got["o"].tolist() == df["o"].tolist()
