@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         "event_type_cooccurrence": R.event_type_cooccurrence,
         "doc_packing_bins": R.doc_packing_bins,
+        "events_pivot_by_segment": R.events_pivot_by_segment,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -1041,6 +1042,16 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY doc_id ROWS UNBOUNDED PRECEDING
                    ) - n_chars) // 100000 AS BIGINT) AS bin_id
             FROM documents
+        """,
+        "events_pivot_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "order_price_quantiles_by_priority": """
             SELECT o_orderpriority,

@@ -1093,6 +1093,31 @@ def approx_users_per_event_type(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_pivot_by_segment(sf_dir: str) -> "object":
+    """Crosstab: one row per market segment, one count column per event
+    type — the reshape pattern: the heavy count is a distributed
+    broadcast-join + hash-partial groupby over the long (segment, type)
+    form; only the BOUNDED aggregate (n_segments × n_types rows) pivots
+    wide, driver-side.  Column set is the fixed event-type vocabulary so
+    the schema is stable."""
+    from linkgraph.partition import broadcast_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(ev, cust, left_on="user_id", right_on="c_custkey")
+    agg = joined.groupby(
+        ["c_mktsegment", "event_type"], num_partitions=_np()
+    ).aggregate(Count(alias_name="n"))
+    long = agg.to_pandas()  # bounded: segments × event types
+    wide = (
+        long.pivot(index="c_mktsegment", columns="event_type", values="n")
+        .fillna(0)
+        .astype("int64")
+    )
+    wide.columns = [f"n_{c}" for c in wide.columns]
+    return wide.reset_index().sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def global_prefix_sum(
     ds: rd.Dataset, order_col: str, val_col: str
 ) -> rd.Dataset:
