@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": R.event_type_cooccurrence,
         "doc_packing_bins": R.doc_packing_bins,
         "events_pivot_by_segment": R.events_pivot_by_segment,
+        "cross_source_novel_docs": R.cross_source_novel_docs,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -1042,6 +1043,15 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY doc_id ROWS UNBOUNDED PRECEDING
                    ) - n_chars) // 100000 AS BIGINT) AS bin_id
             FROM documents
+        """,
+        "cross_source_novel_docs": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents o
+              WHERE o.text = d.text AND o.source <> d.source
+            )
+            GROUP BY source
         """,
         "events_pivot_by_segment": """
             SELECT c_mktsegment,

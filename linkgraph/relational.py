@@ -1093,6 +1093,70 @@ def approx_users_per_event_type(sf_dir: str) -> rd.Dataset:
     )
 
 
+def cross_source_novel_docs(sf_dir: str) -> rd.Dataset:
+    """Per source, how many of its documents are NOVEL — their exact text
+    appears in no other source.  The incremental-crawl question ("what did
+    this snapshot add?") as one content-keyed exchange: texts co-locate by
+    vectorized xxhash (collisions only co-locate MORE rows — the in-bucket
+    comparison is on the actual text, so correctness never depends on the
+    hash), each block counts distinct sources per text with one pandas
+    C-speed groupby, and single-source texts roll up per source with a
+    hash-partial Sum."""
+    from linkgraph.runtime import content_hash64
+
+    d = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        h = content_hash64(t["text"]).view(np.int64)
+        return pa.table({"h": pa.array(h), "text": t["text"], "source": t["source"]})
+
+    def novel_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        df = t.select(["text", "source"]).to_pandas()
+        nsrc = df.groupby("text")["source"].transform("nunique")
+        novel = df[nsrc == 1]
+        counts = novel.groupby("source").size()
+        return pa.table(
+            {
+                "source": pa.array(counts.index.to_numpy()),
+                "n_part": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    co = colocate_by_key(
+        d.map_batches(add_h, batch_format="pyarrow"), "h"
+    )
+    partials = co.map_batches(
+        novel_partial, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby("source", num_partitions=_np()).aggregate(
+        Sum("n_part", alias_name="n_novel")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_novel": pc.cast(t["n_novel"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def events_pivot_by_segment(sf_dir: str) -> "object":
     """Crosstab: one row per market segment, one count column per event
     type — the reshape pattern: the heavy count is a distributed

@@ -527,3 +527,44 @@ def test_global_prefix_sum_vs_pandas():
     df["prefix"] = df["v"].cumsum() - df["v"]
     assert got["prefix"].tolist() == df["prefix"].tolist()
     assert got["o"].tolist() == df["o"].tolist()
+
+
+def test_cross_source_novelty_planted():
+    import tempfile
+
+    from linkgraph.relational import cross_source_novel_docs
+
+    rows = [
+        # text shared ACROSS sources -> not novel anywhere
+        (1, "shared across", "A"),
+        (2, "shared across", "B"),
+        # duplicated WITHIN one source -> still novel (both rows count)
+        (3, "dup within A", "A"),
+        (4, "dup within A", "A"),
+        # unique texts
+        (5, "only in A", "A"),
+        (6, "only in B", "B"),
+        (7, "only in C", "C"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (
+            _df(cross_source_novel_docs(d))
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+    assert got["source"].tolist() == ["A", "B", "C"]
+    assert got["n_novel"].tolist() == [3, 1, 1]
