@@ -690,6 +690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing_bins": R.doc_packing_bins,
         "events_pivot_by_segment": R.events_pivot_by_segment,
         "cross_source_novel_docs": R.cross_source_novel_docs,
+        "user_event_gaps": R.user_event_gaps,
+        "orders_rollup": R.orders_rollup,
+        "user_click_purchase_outer": R.user_click_purchase_outer,
         "doc_word_stats": R.doc_word_stats,
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
@@ -1052,6 +1055,45 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.text = d.text AND o.source <> d.source
             )
             GROUP BY source
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   max(gap_us) / 1000000.0 AS max_gap_s,
+                   CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0
+                     AS avg_gap_s
+            FROM g GROUP BY user_id
+        """,
+        "orders_rollup": """
+            WITH f AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     o_orderpriority AS priority,
+                     CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT COALESCE(o_year, -1) AS o_year,
+                   COALESCE(priority, 'ALL') AS priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+            FROM f GROUP BY ROLLUP(o_year, priority)
+        """,
+        "user_click_purchase_outer": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), p AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   n_clicks, n_purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
         """,
         "events_pivot_by_segment": """
             SELECT c_mktsegment,

@@ -153,11 +153,14 @@ def bucket_join(
     """Hash join of two Datasets on ``on`` (int64 key columns).
 
     ``how``: ``"inner"`` (default), ``"left"`` (left outer — unmatched left
-    rows kept with null right payload), ``"semi"`` (left rows whose key
-    exists on the right — no row multiplication from right-side duplicates)
-    or ``"anti"`` (left rows whose key does NOT exist on the right).  For
-    semi/anti the right side is keys-only (``right_payload`` must be empty)
-    and the output schema is the left schema.
+    rows kept with null right payload), ``"outer"`` (full outer — unmatched
+    rows of BOTH sides kept, the missing side null-padded), ``"semi"``
+    (left rows whose key exists on the right — no row multiplication from
+    right-side duplicates) or ``"anti"`` (left rows whose key does NOT
+    exist on the right).  For semi/anti the right side is keys-only
+    (``right_payload`` must be empty) and the output schema is the left
+    schema.  ``how="outer"`` requires ``salt == 1`` (salting replicates
+    the right side, which would emit duplicate right-outer rows).
 
     Non-key column names must be disjoint between the sides (the engine
     controls all schemas).  ``left_payload`` / ``right_payload`` — optional
@@ -208,8 +211,10 @@ def bucket_join(
     overlap = set(left_payload) & set(right_payload)
     if overlap:
         raise ValueError(f"bucket_join: overlapping payload columns {overlap}")
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"bucket_join: unknown how {how!r}")
+    if how == "outer" and salt > 1:
+        raise ValueError("bucket_join: how='outer' does not compose with salt")
     if how in ("semi", "anti") and right_payload:
         raise ValueError(
             f"bucket_join: {how} join takes a keys-only right side, got "
@@ -261,7 +266,7 @@ def bucket_join(
             )["_merge"].to_numpy() == "both"
             out = ldf[hit if how == "semi" else ~hit]
         else:
-            # "left": pandas widens missing right payload to NaN; the
+            # "left"/"outer": pandas widens the missing side to NaN; the
             # from_pandas conversion below maps NaN -> Arrow null even for
             # integer target types, so the outer rows come out null-padded.
             out = ldf.merge(rdf, on=on, how=how)

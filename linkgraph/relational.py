@@ -1721,3 +1721,171 @@ def users_per_event_type(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_users"))
         .select_columns(["event_type", "n_users"])
     )
+
+
+def user_event_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap statistics (the LEAD/LAG window family):
+    number of gaps, max gap and mean gap in seconds between consecutive
+    events ordered by (ts, event_id).
+
+    Same shape as sessionization: ONE user-keyed shuffle co-locates each
+    user's events, then a whole-block lexsort + diff + ``reduceat`` pass
+    aggregates every user in the block at once.  Gap sums stay exact
+    int64 microseconds until the final division, so the engine and the
+    SQL twin (``sum(gap_us)::DOUBLE / n / 1e6``) agree bit-for-bit.
+    Users with a single event are kept with zero gaps and null gap stats
+    (LAG semantics: no predecessor, no gap row)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "max_gap_s": pa.array([], pa.float64()),
+            "avg_gap_s": pa.array([], pa.float64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tsi = (
+            t["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsi, u))
+        u, tsi = u[order], tsi[order]
+        n = len(u)
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.append(starts, n))
+        # gap at row i (i not a user start) = tsi[i] - tsi[i-1]
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = tsi[1:] - tsi[:-1]
+        gaps[starts] = 0
+        sum_us = np.add.reduceat(gaps, starts)
+        max_us = np.maximum.reduceat(gaps, starts)
+        n_gaps = counts - 1
+        has = n_gaps > 0
+        max_s = np.where(has, max_us / 1_000_000.0, np.nan)
+        avg_s = np.where(has, sum_us / np.maximum(n_gaps, 1) / 1_000_000.0, np.nan)
+        return pa.table(
+            {
+                "user_id": u[starts],
+                "n_gaps": n_gaps,
+                "max_gap_s": pa.array(max_s, pa.float64(), mask=~has),
+                "avg_gap_s": pa.array(avg_s, pa.float64(), mask=~has),
+            }
+        )
+
+    return (
+        ev.repartition(_np(), keys=["user_id"])
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def orders_rollup(sf_dir: str) -> rd.Dataset:
+    """Multi-level aggregate (GROUP BY ROLLUP(year, priority)): order count
+    and exact revenue at (year, priority), (year) and grand-total levels,
+    with sentinel labels (``priority='ALL'``, ``o_year=-1``) instead of SQL
+    NULL grouping markers.
+
+    Scale shape: the ONLY distributed work is the finest-level groupby
+    (with cent-exact int64 partial sums combined inside the hash
+    aggregate); the coarser rollup levels are derived from that
+    already-tiny aggregate (years x priorities rows) in a single bounded
+    pass — never a second scan of the fact table per level."""
+    o = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "priority": t["o_orderpriority"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    fine = (
+        o.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_year", "priority"], num_partitions=_np())
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # t is the complete fine aggregate (bounded: years x priorities)
+        df = t.select(["o_year", "priority", "n_orders", "cents"]).to_pandas()
+        by_year = (
+            df.groupby("o_year", as_index=False)[["n_orders", "cents"]]
+            .sum()
+            .assign(priority="ALL")
+        )
+        total = pa.table(
+            {
+                "o_year": pa.array([-1], pa.int64()),
+                "priority": pa.array(["ALL"]),
+                "n_orders": pa.array([int(df["n_orders"].sum())], pa.int64()),
+                "cents": pa.array([int(df["cents"].sum())], pa.int64()),
+            }
+        ).to_pandas()
+        import pandas as _pd
+
+        out = _pd.concat([df, by_year, total], ignore_index=True)
+        res = pa.table(
+            {
+                "o_year": pa.array(out["o_year"].astype("int64")),
+                "priority": pa.array(out["priority"].astype(str)),
+                "n_orders": pa.array(out["n_orders"].astype("int64")),
+                "revenue": pa.array(out["cents"].astype("int64") / 100.0),
+            }
+        )
+        return res
+
+    # the fine aggregate is tiny; repartition(1) makes one block hold it all
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None
+    )
+
+
+def user_click_purchase_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join of two per-user aggregates: click counts vs purchase
+    counts — users appearing on either side are kept, the missing side
+    null-padded (conversion-analysis staple; completes the join family
+    next to inner/left/semi/anti).
+
+    Both inputs are already user-level aggregates (small), so the outer
+    ``bucket_join`` moves one row per user per side."""
+    from linkgraph.partition import bucket_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(event_type: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["event_type"], event_type))
+            return pa.table({"user_id": f["user_id"]})
+
+        return (
+            ev.map_batches(fn, batch_format="pyarrow")
+            .groupby("user_id", num_partitions=_np())
+            .aggregate(Count(alias_name=out))
+        )
+
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purchases")
+    return bucket_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        how="outer",
+        left_payload={"n_clicks": pa.int64()},
+        right_payload={"n_purchases": pa.int64()},
+    )
