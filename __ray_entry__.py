@@ -648,10 +648,61 @@ def _media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry order matters: the driver value-checks the FIRST 50 entries.
+
+    Round-3 grew the registry past 50 and silently de-verified the kernel
+    section (VERDICT.md round 3, "What's wrong" #1), so the round-4 layout
+    is: (a) every entry whose last driver row predates the round-3
+    compact-output exchange refactor — the four never-checked round-3
+    kernels first — then (b) the new round-4 entries, then (c) the 50
+    entries that already hold fresh round-3 green rows, rotated to the back
+    (the leading ones re-check for free under the cap).
+    """
     from linkgraph import relational as R
 
     return {
-        # relational surface (DuckDB-oracled)
+        # (a1) round-3 kernels that have never had a driver row
+        "weighted_pagerank_top100": _weighted_pagerank_fixed4,
+        "kcore_planted": _kcore_planted,
+        "local_clustering": _local_clustering,
+        "winnow_copy_detect": _winnow_copy_detect,
+        # (a2) kernels whose last driver row (r2) predates the round-3
+        # compact-output exchange refactor — value-checked oracles
+        "pagerank_membership_fixed4": _pagerank_membership_fixed4,
+        "pagerank_membership_directed_fixed4": _pagerank_membership_directed_fixed4,
+        "labelprop_membership": _labelprop_membership,
+        "cc_membership_sizes": _cc_membership_sizes,
+        "cc_membership_summary": _cc_membership_summary,
+        "cc_frequent_label": _cc_frequent_label,
+        "pagerank_top100": _pagerank_top100,
+        "triangle_count": _triangles,
+        "triangle_count_bsp": _triangles_bsp,
+        "extraction_cc": _extraction_cc,
+        # (a3) planted-graph kernel entries (value-checked since round 4;
+        # rows-only before)
+        "cc_labels": _cc_labels,
+        "cc_component_sizes": _cc_sizes,
+        "labelprop_labels": _labelprop,
+        # (a4) training-data operators with stale (r2) driver rows
+        "minhash_dedup": _minhash_dedup,
+        "simhash_dedup": _simhash_dedup,
+        "ngram_jaccard_dedup": _ngram_jaccard_dedup,
+        "embedding_neardup": _embedding_neardup,
+        "knn_ivf": _knn_ivf,
+        "knn_ivf_recall": _knn_ivf_recall,
+        "quality_scores": _quality_scores,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "doc_fingerprints": _fingerprints,
+        "media_features": _media_features,
+        # (c) fresh round-3 green rows below — the leading ones re-check for
+        # free; everything past the 50-entry driver cap rests on its r3 row
+        # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
+        "cc_membership": _cc_membership,
+        "bfs_hops_membership": _bfs_membership,
+        "nearest_region_membership": _nearest_region,
+        "sssp_membership": _sssp_membership,
+        "cc_membership_from_mtx": _cc_membership_from_mtx,
         "lineitem_pricing_summary": R.lineitem_pricing_summary,
         "orders_priority_stats": R.orders_priority_stats,
         "events_by_type": R.events_by_type,
@@ -697,43 +748,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_top20": R.graph_degree_top20,
         "graph_degree_stats": R.graph_degree_stats,
         "knn_vec0_top10": R.knn_vec0_top10,
-        # graph kernels, value-checked (DuckDB recursive/unrolled CTE oracles)
-        "cc_membership": _cc_membership,
-        "bfs_hops_membership": _bfs_membership,
-        "nearest_region_membership": _nearest_region,
-        "sssp_membership": _sssp_membership,
-        "cc_membership_from_mtx": _cc_membership_from_mtx,
-        "cc_membership_sizes": _cc_membership_sizes,
-        "cc_membership_summary": _cc_membership_summary,
-        "labelprop_membership": _labelprop_membership,
-        "pagerank_membership_fixed4": _pagerank_membership_fixed4,
-        "pagerank_membership_directed_fixed4": _pagerank_membership_directed_fixed4,
-        # graph kernels at derived-graph scale (rows-only; NumPy-oracled in tests/)
-        "cc_labels": _cc_labels,
-        "cc_component_sizes": _cc_sizes,
-        # exhaustive-regime sampler on the membership graph (DuckDB-oracled)
-        "cc_frequent_label": _cc_frequent_label,
-        "labelprop_labels": _labelprop,
-        "pagerank_top100": _pagerank_top100,
-        "weighted_pagerank_top100": _weighted_pagerank_fixed4,
-        "kcore_planted": _kcore_planted,
-        "triangle_count": _triangles,
-        "triangle_count_bsp": _triangles_bsp,
-        "local_clustering": _local_clustering,
-        "extraction_cc": _extraction_cc,
-        # training-data operators (rows-only; property-tested in tests/)
-        "minhash_dedup": _minhash_dedup,
-        "winnow_copy_detect": _winnow_copy_detect,
-        "simhash_dedup": _simhash_dedup,
-        "ngram_jaccard_dedup": _ngram_jaccard_dedup,
-        "embedding_neardup": _embedding_neardup,
-        "knn_ivf": _knn_ivf,
-        "knn_ivf_recall": _knn_ivf_recall,
-        "quality_scores": _quality_scores,
-        "lang_id": _lang_id,
-        "token_stats": _token_stats,
-        "doc_fingerprints": _fingerprints,
-        "media_features": _media_features,
     }
 
 
