@@ -7,10 +7,11 @@ engine the same problem reappears as *heavy keys* in shuffle joins: a
 web-scale hub vertex can have more rows than a partition holds.
 
 ``bucket_join`` is an explicit partitioned hash join (the portable pattern):
-both sides get a ``_bucket = mix64(key) % B`` column, one
-``groupby(_bucket).map_groups`` co-locates matching buckets, and the
-per-bucket merge is a vectorized pandas join (C speed; B buckets total, so
-per-group Python overhead is negligible).  We use it instead of the
+both sides get a ``_bucket = mix64(key) % B`` column, one hash repartition
+co-locates matching buckets, and the per-bucket merge is Arrow's C++ hash
+join (``pa.Table.join`` — zero pandas copies), falling back to a vectorized
+pandas merge only for nested payload types (list-typed MinHash signatures /
+embeddings) that Arrow's join rejects.  We use it instead of the
 experimental ``Dataset.join`` because the native join's aggregator builds
 schema-less empty tables for hash partitions that receive no rows, which
 pyarrow's join rejects — guaranteed on small or skewed inputs.
@@ -38,6 +39,12 @@ from linkgraph.graph import _mix64, default_partitions
 _SIDE = "_lgside"
 _BUCKET = "_lgbucket"
 _SALT = "_lgsalt"
+
+# A/B escape hatch: force the pandas merge path in bucket_join even for
+# Arrow-joinable schemas (used by the interleaved join benchmark,
+# BENCH/ab_r4_arrow_join_*.jsonl).  Read at pipeline-build time on the
+# driver; never set in production code.
+_FORCE_PANDAS_JOIN = False
 
 
 def _key_hash(t: pa.Table, on: list[str], seed: int) -> np.ndarray:
@@ -251,14 +258,35 @@ def bucket_join(
     empty_out = pa.table(
         {c: pa.array([], out_types[c]) for c in keep_cols}
     )
+    # Arrow's C++ hash join (Table.join) supports every scalar payload type
+    # but rejects nested (list/struct) non-key fields — the dedup family
+    # carries MinHash-signature / embedding list columns, so those buckets
+    # take the vectorized pandas path instead.  Decided once at build time:
+    # the engine controls all schemas.
+    pa_join_ok = not _FORCE_PANDAS_JOIN and all(
+        not pa.types.is_nested(tt) and not pa.types.is_dictionary(tt)
+        for tt in out_types.values()
+    )
+    pa_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "outer": "full outer",  # coalesce_keys=True pads payload, merges keys
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
+    target_schema = pa.schema([(c, out_types[c]) for c in keep_cols])
 
     def join_group(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             return empty_out
         side = t[_SIDE].to_numpy(zero_copy_only=False)
+        if pa_join_ok:
+            lt = t.filter(pa.array(side == 0)).select(on + lpay)
+            rt = t.filter(pa.array(side == 1)).select(on + rpay)
+            out = lt.join(rt, keys=on, join_type=pa_how).select(keep_cols)
+            return out if out.schema == target_schema else out.cast(target_schema)
         ldf = t.filter(pa.array(side == 0)).select(on + lpay).to_pandas()
         rdf = t.filter(pa.array(side == 1)).select(on + rpay).to_pandas()
-        keep = [c for c in out_cols if c != _SALT]
         if how in ("semi", "anti"):
             # existence mask, no row multiplication: right is keys-only
             hit = ldf.merge(
@@ -271,9 +299,9 @@ def bucket_join(
             # integer target types, so the outer rows come out null-padded.
             out = ldf.merge(rdf, on=on, how=how)
         arrays = [
-            pa.Array.from_pandas(out[c], type=out_types[c]) for c in keep
+            pa.Array.from_pandas(out[c], type=out_types[c]) for c in keep_cols
         ]
-        return pa.table(dict(zip(keep, arrays)))
+        return pa.table(dict(zip(keep_cols, arrays)))
 
     # hash-repartition by bucket + whole-block merge, NOT groupby.map_groups:
     # the hash-shuffle map_groups finalize-sort dies on schema-less empty
