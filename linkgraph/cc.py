@@ -46,6 +46,7 @@ from ray.data.aggregate import Count, Max, Mean, Min
 
 from linkgraph import graph as G
 from linkgraph.checkpoint import Checkpointer
+from linkgraph.runtime import broadcast_gate_rows
 
 try:  # fast C path if scipy is available in the image
     from scipy.sparse import coo_matrix
@@ -793,8 +794,9 @@ def connected_components(
             pairs if pairs is not None else edges_dst, rounds, metrics, verts
         )
     if 0 < n_pairs and mode != "shuffle":
+        cc_gate = broadcast_gate_rows(16, CC_BROADCAST_MAX_PAIRS)
         if edges_dst is None and (
-            mode in ("sharded", "broadcast") or n_pairs <= CC_BROADCAST_MAX_PAIRS
+            mode in ("sharded", "broadcast") or n_pairs <= cc_gate
         ):
             # checkpointed path: the fused exchange didn't run; pay it now
             t0 = time.perf_counter()
@@ -812,7 +814,7 @@ def connected_components(
             # exchange merge for free — no probe, and no id fetch until the
             # broadcast finish actually builds the vector
             if mode == "sharded" or (
-                mode == "auto" and n_vert > CC_BROADCAST_MAX_PAIRS
+                mode == "auto" and n_vert > cc_gate
             ):
                 # beyond the per-node state envelope: sharded labels, no
                 # driver round-trip (the star rounds remain only for

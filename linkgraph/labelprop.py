@@ -38,6 +38,7 @@ from linkgraph import graph as G
 from linkgraph.cc import CCResult, count_components
 from linkgraph.checkpoint import Checkpointer
 from linkgraph.partition import bucket_join
+from linkgraph.runtime import broadcast_gate_rows
 
 _INF = np.iinfo(np.int64).max
 
@@ -390,7 +391,8 @@ def _labelprop_broadcast(
     groups, _n_rows, n_vert = bsp.raw_map_dst_exchange(
         edges, G.sym_prep_batch, dedup_sort_src=True, grouped=True
     )
-    if n_vert > BROADCAST_MAX_VERTICES and not strict:
+    lp_gate = broadcast_gate_rows(16, BROADCAST_MAX_VERTICES)
+    if n_vert > lp_gate and not strict:
         return groups
     sorted_refs = [b for g in groups for b in g]
     extra = (
@@ -405,7 +407,7 @@ def _labelprop_broadcast(
     )
     ids = bsp.vertex_ids(sorted_refs, extra)
     num_v = len(ids)
-    if num_v > BROADCAST_MAX_VERTICES and not strict:
+    if num_v > lp_gate and not strict:
         return groups
 
     labels = ids.copy()

@@ -49,6 +49,7 @@ from linkgraph import bsp
 from linkgraph import graph as G
 from linkgraph.checkpoint import Checkpointer
 from linkgraph.partition import bucket_join
+from linkgraph.runtime import broadcast_gate_rows
 
 BROADCAST_MAX_VERTICES = 50_000_000  # ~1.2 GB of (id, rank, outdeg) per replica
 # measured crossover vs broadcast mode (which round-trips the rank vector
@@ -654,9 +655,12 @@ def pagerank(
         # exchange merge already measured the exact vertex count, so the
         # beyond-gate handoff to BSP costs no degree pull at all.
         if mode != "shuffle":
-            cap = None if mode == "broadcast" else BROADCAST_MAX_VERTICES
+            gate = broadcast_gate_rows(24, BROADCAST_MAX_VERTICES)
+            cap = None if mode == "broadcast" else gate
             if mode == "auto":
-                cap = BSP_MIN_VERTICES  # hand off to BSP at the crossover
+                # hand off to BSP at the measured crossover, but never
+                # broadcast past the per-node memory envelope
+                cap = min(BSP_MIN_VERTICES, gate)
             fits = cap is None or n_vert <= cap
             if fits:
                 futs = [_deg_dst_task.remote(b) for b in parted_refs]
@@ -807,7 +811,8 @@ def pagerank(
         start = 1
 
     if mode == "auto":
-        mode = "broadcast" if num_v <= BROADCAST_MAX_VERTICES else "shuffle"
+        gate = broadcast_gate_rows(24, BROADCAST_MAX_VERTICES)
+        mode = "broadcast" if num_v <= gate else "shuffle"
 
     if mode == "broadcast":
         return _pagerank_broadcast(

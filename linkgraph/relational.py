@@ -1767,8 +1767,11 @@ def user_event_gaps(sf_dir: str) -> rd.Dataset:
         counts = np.diff(np.append(starts, n))
         # gap at row i (i not a user start) = tsi[i] - tsi[i-1]
         gaps = np.empty(n, dtype=np.int64)
-        gaps[0] = 0
         gaps[1:] = tsi[1:] - tsi[:-1]
+        # starts always contains row 0, so this also initializes gaps[0].
+        # The forced 0 at each segment start cannot perturb the reduceat
+        # max/sum: timestamps are sorted within a user, so every real gap
+        # is >= 0.
         gaps[starts] = 0
         sum_us = np.add.reduceat(gaps, starts)
         max_us = np.maximum.reduceat(gaps, starts)
@@ -1821,7 +1824,18 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
     )
 
+    empty_rollup = pa.table(
+        {
+            "o_year": pa.array([], pa.int64()),
+            "priority": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+        }
+    )
+
     def rollup(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty_rollup
         # t is the complete fine aggregate (bounded: years x priorities)
         df = t.select(["o_year", "priority", "n_orders", "cents"]).to_pandas()
         by_year = (

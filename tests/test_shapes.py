@@ -376,3 +376,120 @@ def test_broadcast_join_paths_agree_and_gate_before_pull():
     assert len(small) == 5_000
     assert small.equals(big)
     assert (small["rv"] == small["key"] * 3).all()
+
+
+def test_bucket_join_outer_matches_pandas_full_outer():
+    """how='outer' must keep unmatched rows of BOTH sides null-padded —
+    checked against a pandas full-outer merge on a fixture with left-only,
+    right-only and matched keys (including right-side key duplicates), and
+    it must refuse to compose with salting (ADVICE r3)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from linkgraph.partition import bucket_join
+
+    left = pa.table(
+        {
+            "key": np.array([1, 2, 2, 3, 5], dtype=np.int64),
+            "lv": np.arange(5, dtype=np.int64),
+        }
+    )
+    right = pa.table(
+        {
+            "key": np.array([2, 3, 3, 4], dtype=np.int64),
+            "rv": np.array([20, 30, 31, 40], dtype=np.int64),
+        }
+    )
+    got = (
+        bucket_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            ["key"],
+            num_buckets=4,
+            how="outer",
+            left_payload={"lv": pa.int64()},
+            right_payload={"rv": pa.int64()},
+        )
+        .to_pandas()
+        .sort_values(["key", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.to_pandas()
+        .merge(right.to_pandas(), on="key", how="outer")
+        .sort_values(["key", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # keys 1,5 left-only; 4 right-only; key 2: 2 left x 1 right; key 3:
+    # 1 left x 2 right -> 1+1+1+2+2 = 7 rows
+    assert len(got) == len(want) == 7
+    for c in ("key", "lv", "rv"):
+        pd.testing.assert_series_equal(
+            got[c].astype("Float64"), want[c].astype("Float64"), check_names=False
+        )
+
+    with pytest.raises(ValueError, match="outer"):
+        bucket_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            ["key"],
+            salt=2,
+            how="outer",
+            left_payload={"lv": pa.int64()},
+            right_payload={"rv": pa.int64()},
+        )
+
+
+def test_memory_gate_forces_sharded_handoff(monkeypatch):
+    """broadcast_gate_rows derives the broadcast envelope from cluster
+    resources at call time; shrinking it via the override env var must
+    flip every auto-gated kernel onto its beyond-gate scale path with
+    identical results (VERDICT r3 "Next round" #4)."""
+    from linkgraph.runtime import broadcast_gate_rows
+
+    # derived gate: min(measured crossover, memory envelope) — on any
+    # initialized session it must be positive and never exceed the
+    # crossover constant
+    g = broadcast_gate_rows(24, 50_000_000)
+    assert 0 < g <= 50_000_000
+
+    t = two_level_star()
+    want = _cc_oracle_map(t)
+
+    def labels_map(res):
+        df = res.labels.to_pandas()
+        return dict(zip(df["vertex"].astype(int), df["label"].astype(int)))
+
+    base_cc = labels_map(connected_components(rd.from_arrow(t), num_partitions=4))
+    base_pr = (
+        pagerank(rd.from_arrow(t), directed=False, num_partitions=4,
+                 tol=0.0, max_iters=3)
+        .ranks.to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+
+    monkeypatch.setenv("LINKGRAPH_BROADCAST_GATE_ROWS", "1")
+    assert broadcast_gate_rows(24, 50_000_000) == 1  # override wins
+
+    gated_cc = labels_map(connected_components(rd.from_arrow(t), num_partitions=4))
+    assert gated_cc == base_cc == want
+
+    gated_lp = labels_map(label_propagation(rd.from_arrow(t), num_partitions=4))
+    assert gated_lp == want
+
+    gated_pr = (
+        pagerank(rd.from_arrow(t), directed=False, num_partitions=4,
+                 tol=0.0, max_iters=3)
+        .ranks.to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(
+        gated_pr["rank"].to_numpy(), base_pr["rank"].to_numpy(), atol=1e-9
+    )
+
+    assert triangle_count(rd.from_arrow(t), num_partitions=4, mode="dataflow") == 0
