@@ -339,6 +339,49 @@ def _cc_membership(sf_dir: str):
     return connected_components(membership_edges(sf_dir), num_partitions=8).labels
 
 
+def _cc_resume_membership(sf_dir: str):
+    """North-rule checkpoint/resume contract, driver-visible (VERDICT r3
+    "Next round" #6): CC on the membership graph runs with a
+    ``Checkpointer``, the run is killed after its first completed
+    superstep (later checkpoints deleted — the tests/test_checkpoint.py
+    truncation recipe), and a fresh ``resume=True`` run finishes from the
+    surviving checkpoint.  The resumed labels are value-checked against
+    the same recursive-CTE oracle as ``cc_membership``.  Reference
+    semantics anchor: the superstep loop of ``src/mpi/cc_mpi.c:388-571``.
+    ``local_finish_threshold=0`` keeps the finish distributed so real
+    supersteps (not the driver union-find shortcut) produce checkpoints."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from linkgraph.cc import connected_components
+    from linkgraph.checkpoint import Checkpointer
+    from linkgraph.pipelines import membership_edges
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=8).hexdigest()
+    root = os.path.join(tempfile.gettempdir(), f"linkgraph_resume_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    connected_components(
+        membership_edges(sf_dir),
+        num_partitions=8,
+        checkpointer=Checkpointer(root, "cc"),
+        local_finish_threshold=0,
+    )
+    job_dir = os.path.join(root, "cc")
+    iters = sorted(n for n in os.listdir(job_dir) if n.startswith("iter_"))
+    for name in iters[1:]:  # simulated crash after the first superstep
+        shutil.rmtree(os.path.join(job_dir, name))
+    res = connected_components(
+        membership_edges(sf_dir),
+        num_partitions=8,
+        checkpointer=Checkpointer(root, "cc"),
+        resume=True,
+        local_finish_threshold=0,
+    )
+    return res.labels
+
+
 def _cc_membership_from_mtx(sf_dir: str):
     """Reference-parity source path: the membership graph is round-tripped
     through a Matrix Market file (``sources.write_mtx`` → distributed
@@ -741,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "doc_fingerprints": _fingerprints,
         "media_features": _media_features,
+        # (b) new round-4 entries
+        "cc_resume_membership": _cc_resume_membership,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1575,6 +1620,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b.v, b.dist
         """,
         "cc_membership_from_mtx": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            reach(v, r) AS (
+              SELECT src AS v, src AS r FROM sym
+              UNION
+              SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
+            )
+            SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "cc_resume_membership": """
             WITH RECURSIVE e AS (
               SELECT CAST(c_custkey AS BIGINT) AS src,
                      CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
