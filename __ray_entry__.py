@@ -786,6 +786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         # (b) new round-4 entries
         "cc_resume_membership": _cc_resume_membership,
+        "user_event_rolling_median": R.user_event_rolling_median,
+        "hll_distinct_users": R.hll_distinct_users,
+        "hll_users_per_event_type": R.hll_users_per_event_type,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1231,6 +1234,14 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
             )
+        """,
+        "user_event_rolling_median": """
+            SELECT event_id, user_id,
+                   quantile_disc(value, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS roll_median
+            FROM events
         """,
         "user_cumulative_value": """
             WITH f AS (

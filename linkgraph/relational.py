@@ -655,6 +655,114 @@ def user_event_rolling(sf_dir: str, window: int = 3) -> rd.Dataset:
     return co.map_batches(roll_block, batch_format="pyarrow", batch_size=None)
 
 
+def user_event_rolling_median(sf_dir: str, window: int = 4) -> rd.Dataset:
+    """Per-user rolling MEDIAN of ``value`` over the trailing ``window``
+    rows (3 preceding + current) in ``(ts, event_id)`` order — the exact
+    order statistic, ``quantile_disc(value, 0.5) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW)``.
+
+    Scale shape: the same single user-keyed co-location shuffle as
+    ``user_event_rolling``, then a segment-masked ``(n × window)`` lag
+    matrix and ONE row-wise sort — vectorized across every user in the
+    block, no per-group Python.  The median is a picked input double (no
+    arithmetic), so the driver hash matches the SQL oracle bit-for-bit;
+    the pick index ``(cnt−1)//2`` equals ``quantile_disc``'s
+    ``ceil(0.5·n)−1`` for every window fill level."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def roll_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "roll_median": pa.array([], pa.float64()),
+                }
+            )
+        uu = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uu))
+        u = uu[order]
+        v = t["value"].to_numpy(zero_copy_only=False)[order]
+        n = len(u)
+        run_id, starts = _group_runs(u)
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        mat = np.full((n, window), np.inf)
+        mat[:, 0] = v
+        for d in range(1, window):
+            idx = np.flatnonzero(pos >= d)
+            mat[idx, d] = v[idx - d]
+        mat.sort(axis=1)  # +inf pads rank past the window fill
+        cnt = np.minimum(pos + 1, window)
+        med = mat[np.arange(n), (cnt - 1) // 2]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u),
+                "roll_median": pa.array(med),
+            }
+        )
+
+    co = colocate_by_key(ev, "user_id")
+    return co.map_batches(roll_block, batch_format="pyarrow", batch_size=None)
+
+
+def hll_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Self-gating HyperLogLog entry (the ``knn_ivf_recall`` convention —
+    HLL has no exact regime, so the query computes the EXACT distinct
+    count alongside and reports whether the estimate sits inside the 3σ
+    bound 3·1.04/√m): one no-shuffle register-fold pass vs the exact
+    groupby path, over the events user column."""
+    from linkgraph.sketch import HLL_P, hll_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ev, "user_id")
+    exact = int(
+        _read(sf_dir, "events", ["user_id"])
+        .groupby("user_id", num_partitions=_np())
+        .count()
+        .count()
+    )
+    rel = abs(est - exact) / max(exact, 1)
+    bound = 3.0 * 1.04 / float(np.sqrt(1 << HLL_P))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_users_exact": pa.array([exact], pa.int64()),
+                "n_users_hll": pa.array([int(round(est))], pa.int64()),
+                "rel_err": pa.array([round(rel, 6)], pa.float64()),
+                "within_3sigma": pa.array([rel <= bound], pa.bool_()),
+            }
+        )
+    )
+
+
+def hll_users_per_event_type(sf_dir: str) -> rd.Dataset:
+    """Per-key HLL twin of ``approx_users_per_event_type``: one register
+    array per event_type, merged by elementwise max after a key-hash
+    co-location of the tiny partial stream; self-gated per key against
+    the exact distinct counts (p=12 → 3σ ≈ 4.9%)."""
+    from linkgraph.sketch import hll_distinct_by_key
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    approx = hll_distinct_by_key(ev, "event_type", "user_id", p=12).to_pandas()
+    exact = users_per_event_type(sf_dir).to_pandas()
+    df = exact.merge(approx, on="event_type")  # bounded: one row per type
+    bound = 3.0 * 1.04 / float(np.sqrt(1 << 12))
+    rel = (df["n_approx"] - df["n_users"]).abs() / df["n_users"].clip(lower=1)
+    out = pa.table(
+        {
+            "event_type": pa.array(df["event_type"].astype(str)),
+            "n_users_exact": pa.array(df["n_users"].astype("int64")),
+            "n_users_hll": pa.array(df["n_approx"].astype("int64")),
+            "within_3sigma": pa.array((rel <= bound).to_numpy()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
 def user_cumulative_value(sf_dir: str) -> rd.Dataset:
     """Per-user running total of ``value`` in ``(ts, event_id)`` order —
     ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS

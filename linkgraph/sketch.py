@@ -180,6 +180,185 @@ def approx_distinct_by_key(
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet–Fuss–Gandouet–Meunier, AofA 2007) — the
+# constant-size counterpart to KMV: 2^p one-byte registers, per-block
+# partials merge by elementwise max (associative + commutative, so the
+# estimate is independent of sharding and parallelism).  A p=14 sketch is
+# 16 KB regardless of cardinality; standard error ~1.04/√m ≈ 0.8%.
+# Unlike KMV it has NO exact regime (the small-range linear-counting
+# correction is still an estimate), so its driver entries are
+# SELF-GATING: they compute the exact count alongside and report the
+# relative error against the 3σ bound (the knn_ivf_recall convention).
+# ---------------------------------------------------------------------------
+
+HLL_P = 14
+
+
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (binary descent; 0 → 63
+    here, callers cap ρ before the difference matters)."""
+    v = x.astype(np.uint64, copy=True)
+    lz = np.zeros(len(v), dtype=np.uint8)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += np.uint8(shift)
+        v[mask] <<= np.uint64(shift)
+    return lz
+
+
+def hll_partial(col, p: int = HLL_P) -> np.ndarray:
+    """Register array (len 2^p, uint8) of one block's column."""
+    h = _column_hashes(col)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h << np.uint64(p)  # the low 64-p bits, left-aligned
+    rho = np.minimum(
+        _leading_zeros64(rem).astype(np.int64) + 1, 64 - p + 1
+    ).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(partials: list[np.ndarray]) -> np.ndarray:
+    """Exact merge: elementwise register max."""
+    if not partials:
+        return np.zeros(1 << HLL_P, dtype=np.uint8)
+    out = partials[0].copy()
+    for pr in partials[1:]:
+        np.maximum(out, pr, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with the small-range linear-counting
+    correction; the 64-bit hash space needs no large-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return e
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = HLL_P) -> float:
+    """Approximate distinct count of ``ds[col]`` via HyperLogLog.
+
+    One streaming pass, NO shuffle: each block reduces to a 2^p-byte
+    register array; the driver folds them with elementwise max — O(2^p)
+    driver memory, independent of data size and of the number of blocks.
+    """
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"regs": pa.array([], pa.large_list(pa.uint8()))})
+        return pa.table(
+            {"regs": pa.array([hll_partial(t[col], p)], pa.large_list(pa.uint8()))}
+        )
+
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    parts = ds.select_columns([col]).map_batches(
+        partial_block, batch_format="pyarrow"
+    )
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for r in b["regs"].to_pylist():
+            np.maximum(regs, np.asarray(r, dtype=np.uint8), out=regs)
+    return hll_estimate(regs)
+
+
+def hll_distinct_by_key(
+    ds: rd.Dataset, key: str, col: str, p: int = 12
+) -> rd.Dataset:
+    """Per-key approximate distinct count — one HLL register array per key.
+
+    The ``approx_distinct_by_key`` plan with registers instead of bottom-k
+    sets: per-block partials emit (key, 2^p-byte registers), one key-hash
+    co-location of the tiny partial stream, and the in-block merge is a
+    ``np.maximum.reduceat`` over the stacked register matrix — a hot key
+    costs 2^p bytes per block, never its row count.  Default p=12 (4 KB
+    per key per block, ~1.6% error) since the per-key stream multiplies
+    the sketch by the key count.
+
+    Output: ``(key, n_approx: int64)``.
+    """
+    from linkgraph.relational import colocate_by_key
+
+    m = 1 << p
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t[key].type if t.num_columns else pa.string()),
+                    "regs": pa.array([], pa.large_list(pa.uint8())),
+                }
+            )
+        g = t[key].to_numpy(zero_copy_only=False)
+        h = _column_hashes(t[col])
+        order = np.argsort(g, kind="stable")
+        g, h = g[order], h[order]
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        np.not_equal(g[1:], g[:-1], out=change[1:])
+        run_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        n_groups = len(starts)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rem = h << np.uint64(p)
+        rho = np.minimum(
+            _leading_zeros64(rem).astype(np.int64) + 1, 64 - p + 1
+        ).astype(np.uint8)
+        regs = np.zeros((n_groups, m), dtype=np.uint8)
+        np.maximum.at(regs, (run_id, idx), rho)
+        offsets = np.arange(0, (n_groups + 1) * m, m, dtype=np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(regs.reshape(-1), pa.uint8())
+        )
+        return pa.table({key: pa.Array.from_pandas(g[starts]), "regs": lists})
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], t[key].type if t.num_columns else pa.string()),
+                    "n_approx": pa.array([], pa.int64()),
+                }
+            )
+        g = t[key].to_numpy(zero_copy_only=False)
+        lists = t["regs"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        mat = np.asarray(lists.flatten(), dtype=np.uint8).reshape(len(g), m)
+        order = np.argsort(g, kind="stable")
+        g, mat = g[order], mat[order]
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        np.not_equal(g[1:], g[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        est = np.fromiter(
+            (hll_estimate(merged[i]) for i in range(len(starts))),
+            dtype=np.float64,
+            count=len(starts),
+        )
+        return pa.table(
+            {
+                key: pa.Array.from_pandas(g[starts]),
+                "n_approx": pa.array(np.round(est).astype(np.int64)),
+            }
+        )
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial_block, batch_format="pyarrow"
+    )
+    return colocate_by_key(partials, key).map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def approx_distinct(ds: rd.Dataset, col: str, k: int = 1 << 16) -> float:
     """Approximate distinct count of ``ds[col]`` via a KMV sketch.
 

@@ -568,3 +568,92 @@ def test_cross_source_novelty_planted():
         )
     assert got["source"].tolist() == ["A", "B", "C"]
     assert got["n_novel"].tolist() == [3, 1, 1]
+
+
+def test_hll_accuracy_and_merge():
+    from linkgraph.sketch import (
+        HLL_P, hll_distinct, hll_estimate, hll_merge, hll_partial,
+    )
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 80_000, 400_000).astype(np.int64)
+    n_true = len(np.unique(vals))
+    bound = 3.0 * 1.04 / np.sqrt(1 << HLL_P)
+
+    single = hll_partial(pa.array(vals))
+    est = hll_estimate(single)
+    assert abs(est - n_true) / n_true <= bound
+
+    # shard-order / sharding invariance: elementwise-max merge of any
+    # split equals the single-pass registers exactly
+    parts = [hll_partial(pa.array(c)) for c in np.array_split(vals, 9)]
+    assert np.array_equal(hll_merge(parts), single)
+    assert np.array_equal(hll_merge(list(reversed(parts))), single)
+
+    # distributed pass at two parallelism levels → identical estimate
+    t = pa.table({"x": vals})
+    e1 = hll_distinct(rd.from_arrow(t).repartition(2), "x")
+    e2 = hll_distinct(rd.from_arrow(t).repartition(13), "x")
+    assert e1 == e2 == est
+
+
+def test_hll_by_key_within_bound():
+    from linkgraph.sketch import hll_distinct_by_key
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 4, 200_000).astype(np.int64)
+    # per-key distinct cardinality scales with the key id
+    vals = rng.integers(0, 1, 200_000).astype(np.int64)
+    for k in range(4):
+        m = keys == k
+        vals[m] = rng.integers(0, 500 * (k + 1) ** 3, int(m.sum()))
+    t = pa.table({"k": keys, "x": vals})
+    out = (
+        hll_distinct_by_key(rd.from_arrow(t).repartition(6), "k", "x", p=12)
+        .to_pandas()
+        .set_index("k")["n_approx"]
+    )
+    bound = 3.0 * 1.04 / np.sqrt(1 << 12)
+    for k in range(4):
+        n_true = len(np.unique(vals[keys == k]))
+        assert abs(out[k] - n_true) / n_true <= bound, (k, out[k], n_true)
+
+
+def test_rolling_median_matches_duckdb_window():
+    import duckdb
+
+    from linkgraph import relational as R
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    t = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 300, n).astype(np.int64),
+            "ts": rng.integers(0, 10_000_000, n).astype("datetime64[us]"),
+            "value": np.round(rng.normal(50, 20, n), 6),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="lg_rollmed_")
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = (
+        R.user_event_rolling_median(d)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        f"""
+        SELECT event_id, user_id,
+               quantile_disc(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_median
+        FROM read_parquet('{d}/events.parquet') ORDER BY event_id
+        """
+    ).fetchdf()
+    assert (got["roll_median"].to_numpy() == want["roll_median"].to_numpy()).all()
