@@ -789,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_rolling_median": R.user_event_rolling_median,
         "hll_distinct_users": R.hll_distinct_users,
         "hll_users_per_event_type": R.hll_users_per_event_type,
+        "contaminated_docs": R.contaminated_docs,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1234,6 +1235,24 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
             )
+        """,
+        # exact string-n-gram twin of the hash-space decontamination pass:
+        # identical unless a 64-bit gram-hash collision occurs (the driver
+        # check would surface one)
+        "contaminated_docs": """
+            WITH tr AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i.i:i.i+7], ' ') AS g
+              FROM tr JOIN LATERAL (
+                SELECT unnest(range(1, len(w) - 6)) AS i
+              ) i ON true
+            ),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM dg JOIN ev USING (g) GROUP BY doc_id
         """,
         "user_event_rolling_median": """
             SELECT event_id, user_id,

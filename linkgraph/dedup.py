@@ -986,3 +986,133 @@ def winnow_copy_detect(
     verified = both.map_batches(verify, batch_format="pyarrow")
     res = connected_components(verified, num_partitions=num_partitions)
     return _clusters_from_labels(res.labels, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (cross-corpus word n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _word_gram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word n-gram hashes of a string column, fully vectorized.
+
+    Tokenization is a split on the single space character — ``string_split
+    (text, ' ')`` parity with the SQL oracle, empty tokens from consecutive
+    spaces included.  Tokens hash once (polars xxhash over the flat
+    buffer); each n-gram hash is an order-aware fold of its n token hashes
+    (multiply-xor-avalanche), so no joined gram strings are ever
+    materialized.  Returns ``(doc_idx, gram_hashes)`` where ``doc_idx``
+    repeats the LOCAL row index of the owning doc; docs with fewer than
+    ``n`` tokens emit nothing (the oracle's empty generate_series).
+    """
+    from linkgraph.runtime import import_polars
+    from linkgraph.sketch import _mix64
+
+    pl = import_polars()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pl.from_arrow(col).str.split(" ")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    th = toks.explode().hash(seed=0).to_numpy().view(np.uint64)
+    per_doc = np.maximum(lens - n + 1, 0)
+    total = int(per_doc.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), per_doc)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(per_doc) - per_doc, per_doc
+    )
+    gstart = doc_off[doc_idx] + within
+    acc = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = _mix64(acc * np.uint64(0x100000001B3) ^ th[gstart + j])
+    return doc_idx, acc
+
+
+def decontaminate(
+    train: rd.Dataset,
+    eval_ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> rd.Dataset:
+    """Flag training docs sharing any word ``n``-gram with an eval set.
+
+    The standard pre-training decontamination pass (GPT-3 appendix C /
+    PaLM-style 8-gram overlap).  Scale shape: the benchmark side is tiny
+    relative to the corpus, so its DISTINCT gram hashes fold to the driver
+    (bounded by eval size, not corpus size), broadcast once via
+    ``ray.put``, and the corpus streams through one ``map_batches`` doing
+    a sorted-array membership probe — NO shuffle of the training side at
+    all.  Output: ``(doc_id, n_shared)`` — distinct shared grams per
+    contaminated doc, rows only for ``n_shared >= 1``.
+    """
+    import ray
+
+    def ev_block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        _, g = _word_gram_hashes(t[text_col], n)
+        return pa.table({"g": pa.array(np.unique(g))})
+
+    parts = [
+        np.asarray(b["g"], dtype=np.uint64)
+        for b in eval_ds.select_columns([text_col])
+        .map_batches(ev_block, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    gs = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    )
+    ref = ray.put(gs)
+
+    class Flag:
+        def __init__(self):
+            import ray as _ray
+
+            self.gs = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_columns == 0 or len(t) == 0 or len(self.gs) == 0:
+                return empty
+            d, g = _word_gram_hashes(t[text_col], n)
+            if len(g) == 0:
+                return empty
+            # distinct (doc, gram) then sorted-set membership
+            order = np.lexsort((g, d))
+            d, g = d[order], g[order]
+            keep = np.empty(len(d), dtype=bool)
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+            d, g = d[keep], g[keep]
+            idx = np.minimum(
+                np.searchsorted(self.gs, g), len(self.gs) - 1
+            )
+            hit = self.gs[idx] == g
+            if not hit.any():
+                return empty
+            d = d[hit]
+            change = np.empty(len(d), dtype=bool)
+            change[0] = True
+            np.not_equal(d[1:], d[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            counts = np.diff(np.append(starts, len(d)))
+            ids = t[id_col].to_numpy(zero_copy_only=False)[d[starts]]
+            return pa.table(
+                {
+                    id_col: pa.array(ids.astype(np.int64)),
+                    "n_shared": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+    return train.select_columns([id_col, text_col]).map_batches(
+        Flag, batch_format="pyarrow", concurrency=resolve_concurrency(None)
+    )

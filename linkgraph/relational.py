@@ -763,6 +763,27 @@ def hll_users_per_event_type(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(out)
 
 
+def contaminated_docs(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination over the documents table: the eval set is
+    the deterministic subset ``doc_id % 97 == 0`` (standing in for a held
+    -out benchmark), and every doc sharing any word 8-gram with it is
+    flagged with its distinct shared-gram count — ``dedup.decontaminate``,
+    the GPT-3/PaLM-style n-gram overlap pass.  Value-checked against an
+    exact string n-gram SQL oracle (the engine compares 64-bit gram
+    hashes, the oracle the gram strings; identical modulo hash collisions,
+    which the driver check would surface)."""
+    from linkgraph.dedup import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ev = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, ev, n=8)
+
+
 def user_cumulative_value(sf_dir: str) -> rd.Dataset:
     """Per-user running total of ``value`` in ``(ts, event_id)`` order —
     ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS

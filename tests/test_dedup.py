@@ -107,3 +107,64 @@ def test_ngram_jaccard_exact_values():
     )
     clusters = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
     assert clusters == {0: 0, 1: 0}
+
+
+def test_decontaminate_planted_overlap():
+    """A train doc sharing exactly one 8-gram with the eval set is flagged
+    with n_shared=1; disjoint docs and sub-8-token overlaps are not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.dedup import decontaminate
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train_rows = {
+        1: bench,                                            # full copy
+        2: "x y z alpha bravo charlie delta echo foxtrot golf hotel q",  # one 8-gram
+        3: "alpha bravo charlie delta echo foxtrot golf",    # only 7 shared tokens
+        4: "totally different text with many many words here indeed",
+        5: "pad " * 3 + bench + " tail",                     # embedded copy
+    }
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(train_rows), pa.int64()),
+                "text": pa.array(list(train_rows.values()), pa.string()),
+            }
+        )
+    ).repartition(3)
+    eval_ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([100], pa.int64()),
+             "text": pa.array([bench], pa.string())}
+        )
+    )
+    got = (
+        decontaminate(train, eval_ds, n=8)
+        .to_pandas()
+        .set_index("doc_id")["n_shared"]
+        .to_dict()
+    )
+    # bench has 10 tokens -> 3 distinct 8-grams; doc 1 shares all 3,
+    # doc 2 shares 1, doc 5 contains the full bench -> 3
+    assert got == {1: 3, 2: 1, 5: 3}
+
+
+def test_decontaminate_empty_eval_flags_nothing():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.dedup import decontaminate
+
+    train = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1], pa.int64()),
+             "text": pa.array(["some words here that are fine ok yes sure"], pa.string())}
+        )
+    )
+    eval_ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    assert decontaminate(train, eval_ds, n=8).count() == 0
