@@ -103,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="pages parquet (url, warc_ts, html, text, lang)")
     common(sp)
 
+    sp = sub.add_parser("decontaminate")
+    sp.add_argument("--train", required=True,
+                    help="corpus parquet (doc_id, text)")
+    sp.add_argument("--eval", dest="eval_path", required=True,
+                    help="benchmark parquet (doc_id, text) — the small side")
+    sp.add_argument("--ngram", type=int, default=8)
+    sp.add_argument("--output", required=True, help="output parquet directory")
+    sp.add_argument("--num-partitions", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray()
     import pyarrow as pa  # noqa: F401  (fail fast when arrow is broken)
@@ -192,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
             pa.table({"triangles": pa.array([n], pa.int64())})
         ).write_parquet(args.output)
         summary = {"cmd": "triangles", "triangles": n}
-    else:  # extract-cc
+    elif args.cmd == "extract-cc":
         import ray.data as rd
 
         from linkgraph.pipelines import pages_pipeline
@@ -206,6 +215,18 @@ def main(argv: list[str] | None = None) -> int:
         res.labels.write_parquet(args.output)
         summary = {"cmd": "extract-cc", "components": res.num_components,
                    "rounds": res.num_iterations}
+    else:  # decontaminate
+        import ray.data as rd
+
+        from linkgraph.dedup import decontaminate
+
+        flagged = decontaminate(
+            rd.read_parquet(args.train, columns=["doc_id", "text"]),
+            rd.read_parquet(args.eval_path, columns=["doc_id", "text"]),
+            n=args.ngram,
+        )
+        flagged.write_parquet(args.output)
+        summary = {"cmd": "decontaminate", "flagged": flagged.count()}
 
     summary["wall_s"] = round(time.perf_counter() - t0, 3)
     summary["output"] = args.output

@@ -76,3 +76,40 @@ def test_cli_bfs_and_sssp(tmp_path, capsys):
                  "--output", out_s, "--num-partitions", "2"]) == 0
     got = pq.read_table(out_s).to_pandas().set_index("vertex")["dist"].to_dict()
     assert got == {0: 0, 1: 2, 2: 5, 3: 9}
+
+
+def test_cli_decontaminate(tmp_path, capsys):
+    import pyarrow as pa
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [bench, "unrelated words that do not overlap at all here ok"],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(tmp_path / "train.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([9], pa.int64()),
+             "text": pa.array([bench], pa.string())}
+        ),
+        str(tmp_path / "eval.parquet"),
+    )
+    out = str(tmp_path / "flagged")
+    rc = main([
+        "decontaminate",
+        "--train", str(tmp_path / "train.parquet"),
+        "--eval", str(tmp_path / "eval.parquet"),
+        "--output", out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["flagged"] == 1
+    got = pq.read_table(out)
+    assert got.to_pydict()["doc_id"] == [1]
