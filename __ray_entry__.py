@@ -790,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": R.hll_distinct_users,
         "hll_users_per_event_type": R.hll_users_per_event_type,
         "contaminated_docs": R.contaminated_docs,
+        "doc_chunks": R.doc_chunks,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1235,6 +1236,31 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
             )
+        """,
+        # 64-token windows, stride 48; the last window may be short, every
+        # token lands in >= 1 chunk — list-slice twin of chunk_documents
+        "doc_chunks": """
+            WITH tr AS (
+              SELECT doc_id, string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS l
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, w, l, ch.chunk_id
+              FROM tr JOIN LATERAL (
+                SELECT unnest(range(0,
+                  CASE WHEN l <= 64 THEN 1
+                       ELSE CAST(ceil((l - 64) / 48.0) AS BIGINT) + 1 END
+                )) AS chunk_id
+              ) ch ON true
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(
+                     w[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, l)], ' '
+                   ) AS chunk_text,
+                   CAST(least(chunk_id * 48 + 64, l) - chunk_id * 48 AS BIGINT)
+                       AS n_tokens
+            FROM c
         """,
         # exact string-n-gram twin of the hash-space decontamination pass:
         # identical unless a 64-bit gram-hash collision occurs (the driver

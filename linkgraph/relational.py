@@ -784,6 +784,98 @@ def contaminated_docs(sf_dir: str) -> rd.Dataset:
     return decontaminate(docs, ev, n=8)
 
 
+def chunk_documents(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> rd.Dataset:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window packing prep of a training pipeline (chunk ``c`` =
+    tokens ``[c·stride, c·stride+size)``; the final window is allowed to
+    be short so every token lands in at least one chunk).
+
+    Tokenization is the single-space split (``string_split`` parity with
+    the SQL oracle).  Fully vectorized and embarrassingly parallel — one
+    ``map_batches``, NO shuffle: per block, polars splits and explodes
+    the token stream once, window token indices come from a
+    ``repeat``/``arange`` fan-out, and the chunk texts are re-joined with
+    one vectorized group-join.  Output: ``(doc_id, chunk_id, chunk_text,
+    n_tokens)``.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        from linkgraph.runtime import import_polars
+
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        pl = import_polars()
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pl.from_arrow(col).str.split(" ")
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode().rename("tok")
+        # chunks per doc: one window if it fits, else enough strides to
+        # cover the tail
+        n_chunks = np.where(
+            lens <= size, 1, (lens - size + stride - 1) // stride + 1
+        ).astype(np.int64)
+        doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        c_start = chunk_id * stride
+        c_len = np.minimum(c_start + size, lens[doc_idx]) - c_start
+        # token fan-out: global flat indices of every chunk's tokens
+        total = int(c_len.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(c_len) - c_len, c_len
+        )
+        tok_idx = doc_off[doc_idx].repeat(c_len) + c_start.repeat(c_len) + within
+        grp = np.repeat(np.arange(len(chunk_id), dtype=np.int64), c_len)
+        joined = (
+            pl.DataFrame({"g": grp, "tok": flat.gather(tok_idx)})
+            .group_by("g", maintain_order=True)
+            .agg(pl.col("tok").str.join(" "))["tok"]
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "chunk_id": pa.array(chunk_id),
+                "chunk_text": joined.to_arrow().cast(pa.string()),
+                "n_tokens": pa.array(c_len),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow"
+    )
+
+
+def doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Driver entry: chunk the documents table into 64-token windows with
+    stride 48 (16-token overlap) — value-checked against a list-slicing
+    SQL oracle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=64, stride=48)
+
+
 def user_cumulative_value(sf_dir: str) -> rd.Dataset:
     """Per-user running total of ``value`` in ``(ts, event_id)`` order —
     ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS

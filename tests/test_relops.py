@@ -657,3 +657,52 @@ def test_rolling_median_matches_duckdb_window():
         """
     ).fetchdf()
     assert (got["roll_median"].to_numpy() == want["roll_median"].to_numpy()).all()
+
+
+def test_chunk_documents_windows():
+    """Window/stride edge cases: short doc (one chunk), exact-fit, tail
+    chunk shorter than stride, empty text, full token coverage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.relational import chunk_documents
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = {
+        1: words(5, "a"),      # < size -> 1 chunk of 5
+        2: words(8, "b"),      # == size -> 1 chunk
+        3: words(9, "c"),      # size+1 -> 2 chunks (0..7, 6..8)
+        4: words(20, "d"),     # 1 + ceil(12/6) = 3 chunks
+        5: "",                 # split(' ') -> [""] -> one empty chunk
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array(list(rows.values()), pa.string()),
+        }
+    )
+    got = (
+        chunk_documents(rd.from_arrow(t).repartition(2), size=8, stride=6)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    n_chunks = got.groupby("doc_id")["chunk_id"].count().to_dict()
+    assert n_chunks == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}
+    d3 = got[got.doc_id == 3]
+    assert list(d3.chunk_text) == [words(8, "c"), "c6 c7 c8"]
+    assert list(d3.n_tokens) == [8, 3]
+    # every token of doc 4 appears in some chunk, in order
+    d4 = got[got.doc_id == 4]
+    toks = set()
+    for txt in d4.chunk_text:
+        toks.update(txt.split(" "))
+    assert toks == set(words(20, "d").split(" "))
+    assert got[got.doc_id == 5].chunk_text.iloc[0] == ""
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), size=4, stride=5)
