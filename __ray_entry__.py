@@ -791,6 +791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_per_event_type": R.hll_users_per_event_type,
         "contaminated_docs": R.contaminated_docs,
         "doc_chunks": R.doc_chunks,
+        "window_distinct_users": R.window_distinct_users,
+        "quality_filter_by_lang": R.quality_filter_by_lang,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1449,6 +1451,57 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_tokens_ws,
                    len(regexp_extract_all(text, '{bpe_sql}')) AS n_tokens_bpe
             FROM documents
+        """,
+        "window_distinct_users": """
+            SELECT make_timestamp(
+                     (epoch_us(ts) // 900000000) * 900000000
+                   ) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY window_start
+        """,
+        # per-lang median gate on the 6-dp-rounded quality grid (the
+        # representation the quality_scores row proves identical)
+        "quality_filter_by_lang": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     length(text) AS n_chars,
+                     regexp_extract_all(lower(text), '[a-z]+') AS words,
+                     len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS np_,
+                     len(regexp_extract_all(text, '[0-9]')) AS nd_
+              FROM documents
+            ), f AS (
+              SELECT doc_id, lang, n_chars,
+                     len(words) AS n_words,
+                     len(list_filter(words, x -> x IN ({stoplist}))) AS stops,
+                     np_, nd_
+              FROM w
+            ), r AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(np_ AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                     CAST(nd_ AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+                     CASE WHEN n_words > 0
+                          THEN CAST(stops AS DOUBLE) / n_words ELSE 0.0
+                     END AS stop_ratio
+              FROM f
+            ), q AS (
+              SELECT doc_id, lang,
+                     round(
+                       least(n_chars / 500.0, 1.0) * 0.3
+                       + least(stop_ratio * 4, 1.0) * 0.3
+                       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+                       + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2, 6
+                     ) AS quality
+              FROM r
+            ),
+            m AS (
+              SELECT lang, quantile_disc(quality, 0.5) AS thr
+              FROM q GROUP BY lang
+            )
+            SELECT q.lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                   round(min(q.quality), 6) AS min_quality_kept
+            FROM q JOIN m USING (lang)
+            WHERE q.quality >= m.thr
+            GROUP BY q.lang
         """,
         "quality_scores": f"""
             WITH w AS (

@@ -1910,6 +1910,141 @@ def doc_split_assignment(sf_dir: str, val_pct: int = 10) -> rd.Dataset:
     return d.map_batches(assign, batch_format="pyarrow")
 
 
+def window_distinct_users(sf_dir: str, window_min: int = 15) -> rd.Dataset:
+    """Distinct users per TUMBLING window: exact COUNT(DISTINCT user_id)
+    for every ``window_min``-minute epoch bucket — the streaming-analytics
+    staple combining the window family with the scalable distinct plan.
+
+    Scale shape: the window id is integer epoch arithmetic inside the
+    first map (no shuffle), then the two-level distinct combine of
+    ``users_per_event_type``: block-local unique (window, user) pairs
+    shrink the stream before ONE pair-keyed groupby, then a small
+    per-window count — a viral window never collects its user set in one
+    task."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    span_us = window_min * 60 * 1_000_000
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        w = (us.view(np.int64) // span_us) * span_us
+        out = pa.table(
+            {
+                "window_start": pa.array(w.view("datetime64[us]")),
+                "user_id": t["user_id"],
+            }
+        )
+        return out.group_by(["window_start", "user_id"]).aggregate([])
+
+    pairs = (
+        ev.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["window_start", "user_id"], num_partitions=_np())
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        pairs.groupby("window_start", num_partitions=_np())
+        .aggregate(Count(alias_name="n_users"))
+        .select_columns(["window_start", "n_users"])
+    )
+
+
+def quality_filter_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language quality gate: keep documents whose quality score is at
+    or above their OWN language's median — the percentile-threshold
+    curation pass, composed from the existing quality scorer, the grouped
+    exact quantiles and a broadcast threshold lookup.
+
+    Scale shape: the scorer is one actor-pool pass; the per-lang medians
+    are a bounded aggregate (one row per language) computed by
+    ``grouped_quantiles``; the filter is a broadcast join (thresholds ride
+    the object store, the doc stream never shuffles).  Output: (lang,
+    n_docs_kept, min_quality_kept) per language — bounded, so the driver
+    hash check stays cheap while still pinning the per-doc filter."""
+    import ray.data as rd_
+
+    from linkgraph import textstats
+    from linkgraph.partition import broadcast_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    # threshold on 6-dp-rounded quality so the engine/SQL comparison is
+    # deterministic at the cut (raw float64 paths may differ in the last
+    # ulp; the 6-dp grid is the proven-identical representation — the
+    # quality_scores driver row hash-matches at 6 dp)
+    scored = (
+        textstats.quality_scores(docs)
+        .select_columns(["doc_id", "quality"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "quality": pc.round(t["quality"], ndigits=6),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def key_lang(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+
+    with_lang = broadcast_join(
+        scored,
+        langs.map_batches(key_lang, batch_format="pyarrow"),
+        left_on="doc_id",
+        right_on="doc_id",
+    )
+    med = grouped_quantiles(
+        with_lang, "lang", "quality", [0.5], ["q50"]
+    ).to_pandas()  # bounded: one row per language
+    thresholds = dict(zip(med["lang"], med["q50"]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "quality": pa.array([], pa.float64())}
+            )
+        q = t["quality"].to_numpy(zero_copy_only=False)
+        langs_np = np.asarray(t["lang"].to_pylist(), dtype=object)
+        thr = np.fromiter(
+            (thresholds.get(l, np.inf) for l in langs_np),
+            dtype=np.float64,
+            count=len(langs_np),
+        )
+        m = q >= thr
+        return pa.table(
+            {"lang": pa.array(langs_np[m]), "quality": pa.array(q[m])}
+        )
+
+    kept = with_lang.map_batches(keep, batch_format="pyarrow")
+    return (
+        kept.groupby("lang", num_partitions=_np())
+        .aggregate(
+            Count(alias_name="n_docs_kept"),
+            Min("quality", alias_name="min_quality_kept"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_docs_kept": t["n_docs_kept"],
+                    "min_quality_kept": pc.round(
+                        t["min_quality_kept"], ndigits=6
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def users_per_event_type(sf_dir: str) -> rd.Dataset:
     """Per-key distinct count: distinct users per event type.
 
