@@ -612,6 +612,19 @@ def _embedding_neardup(sf_dir: str):
     return dedup.embedding_neardup(emb.union(dups), threshold=0.98, num_partitions=8)
 
 
+def _label_centroids(sf_dir: str):
+    """Per-label mean embedding, long-form (label, dim, centroid) —
+    value-checked against a DuckDB unnest/generate_subscripts oracle."""
+    import ray.data as rd
+
+    from linkgraph.similarity import label_centroids
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_centroids(emb)
+
+
 def _knn_queries(sf_dir: str):
     import ray.data as rd
 
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": R.doc_chunks,
         "window_distinct_users": R.window_distinct_users,
         "quality_filter_by_lang": R.quality_filter_by_lang,
+        "embedding_label_centroids": _label_centroids,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1564,6 +1578,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT vec_id + 10000000 AS doc_id, vec_id AS cluster_id
             FROM embeddings WHERE vec_id < 20
+        """,
+        "embedding_label_centroids": """
+            WITH e AS (
+              SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(d - 1 AS BIGINT) AS dim,
+                   round(avg(v), 6) AS centroid
+            FROM e GROUP BY label, d
         """,
         "knn_ivf": """
             WITH q AS (

@@ -320,3 +320,93 @@ def knn_ivf_recall(
             }
         )
     )
+
+
+def label_centroids(ds: rd.Dataset, *, label_col: str = "label",
+                    vec_col: str = "embedding") -> rd.Dataset:
+    """Per-label mean embedding — the data-parallel centroid step of
+    k-means/IVF exposed as a standalone operator (class prototypes,
+    cluster summaries, nearest-class-mean classifiers).
+
+    Scale shape: each block reduces to one (label, sum-vector, count)
+    partial per label it contains (``np.add.reduceat`` over the sorted
+    block matrix); ONE key co-location of the tiny partial stream merges
+    them the same way.  The raw vectors are never shuffled — a hot label
+    costs d doubles per block, not its row count.  Output long-form
+    ``(label, dim, centroid)`` (rounded 6 dp), SQL-oracle-friendly.
+    """
+    from linkgraph.relational import colocate_by_key
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    label_col: pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.large_list(pa.float64())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = _to_matrix(t[vec_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab, m = lab[order], m[order]
+        change = np.empty(len(lab), dtype=bool)
+        change[0] = True
+        np.not_equal(lab[1:], lab[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(m, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab)))
+        d = m.shape[1]
+        offsets = np.arange(0, (len(starts) + 1) * d, d, dtype=np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(sums.reshape(-1), pa.float64())
+        )
+        return pa.table(
+            {
+                label_col: pa.array(lab[starts]),
+                "sums": lists,
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                label_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "centroid": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        from linkgraph.runtime import list_column_to_matrix
+
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(t["sums"], np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        lab, mat, n = lab[order], mat[order], n[order]
+        change = np.empty(len(lab), dtype=bool)
+        change[0] = True
+        np.not_equal(lab[1:], lab[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(mat, starts, axis=0)
+        counts = np.add.reduceat(n, starts)
+        cent = np.round(sums / counts[:, None], 6)
+        d = mat.shape[1]
+        out_lab = np.repeat(lab[starts], d)
+        out_dim = np.tile(np.arange(d, dtype=np.int64), len(starts))
+        return pa.table(
+            {
+                label_col: pa.array(out_lab.astype(np.int64)),
+                "dim": pa.array(out_dim),
+                "centroid": pa.array(cent.reshape(-1)),
+            }
+        )
+
+    partials = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return colocate_by_key(partials, label_col).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

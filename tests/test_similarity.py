@@ -83,3 +83,39 @@ def test_knn_ivf_recall_gate():
     recalls = [r["recall"] for r in out]
     assert min(recalls) >= 0.5, recalls
     assert np.mean(recalls) >= 0.85, recalls
+
+
+def test_label_centroids_match_numpy_at_two_partitionings():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.similarity import label_centroids
+
+    rng = np.random.default_rng(7)
+    n, d = 5_000, 16
+    lab = rng.integers(0, 6, n).astype(np.int64)
+    m = rng.normal(0, 1, (n, d))
+    t = pa.table(
+        {
+            "label": pa.array(lab),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float64()), d
+            ),
+        }
+    )
+
+    def run(parts):
+        df = (
+            label_centroids(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values(["label", "dim"])
+            .reset_index(drop=True)
+        )
+        return df
+
+    a, b = run(2), run(11)
+    assert (a["centroid"].to_numpy() == b["centroid"].to_numpy()).all()
+    want = np.stack([m[lab == k].mean(axis=0) for k in range(6)])
+    got = a["centroid"].to_numpy().reshape(6, d)
+    assert np.allclose(got, np.round(want, 6), atol=1e-6)
