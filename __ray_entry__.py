@@ -807,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": R.window_distinct_users,
         "quality_filter_by_lang": R.quality_filter_by_lang,
         "embedding_label_centroids": _label_centroids,
+        "order_price_ntile": R.order_price_ntile,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1303,6 +1304,14 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
                    ) AS roll_median
             FROM events
+        """,
+        "order_price_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey
+                   ) AS BIGINT) AS quartile
+            FROM orders
         """,
         "user_cumulative_value": """
             WITH f AS (

@@ -2045,6 +2045,53 @@ def quality_filter_by_lang(sf_dir: str) -> rd.Dataset:
     )
 
 
+def order_price_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
+    """NTILE(k) price quartiles within each order priority — SQL window
+    semantics exactly: rows ordered by (o_totalprice, o_orderkey) within
+    the priority, the first ``n mod k`` buckets one row larger.
+
+    Scale shape: one priority-keyed co-location, then a single lexsort
+    per block and pure index arithmetic for the bucket assignment —
+    vectorized across all groups, no per-group Python."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "quartile": pa.array([], pa.int64()),
+                }
+            )
+        pr = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, price, pr))
+        pr, key = pr[order], key[order]
+        run_id, starts = _group_runs(pr)
+        n_g = np.diff(np.append(starts, len(pr)))  # group sizes
+        pos = np.arange(len(pr), dtype=np.int64) - starts[run_id]
+        n = n_g[run_id]
+        rem = n % k
+        big = n // k + 1
+        small = np.maximum(n // k, 1)
+        in_big = pos < rem * big
+        bucket = np.where(
+            in_big, pos // big, rem + (pos - rem * big) // small
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key),
+                "o_orderpriority": pa.array(pr.astype(str)),
+                "quartile": pa.array(bucket.astype(np.int64) + 1),
+            }
+        )
+
+    co = colocate_by_key(o, "o_orderpriority")
+    return co.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
 def users_per_event_type(sf_dir: str) -> rd.Dataset:
     """Per-key distinct count: distinct users per event type.
 

@@ -706,3 +706,57 @@ def test_chunk_documents_windows():
 
     with pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(t), size=4, stride=5)
+
+
+def test_ntile_matches_duckdb_window():
+    """NTILE bucket-size semantics (first n%k buckets one larger) on
+    random group sizes incl. groups smaller than k."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from linkgraph import relational as R
+
+    rng = np.random.default_rng(41)
+    n = 5_003
+    t = pa.table(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_orderpriority": np.array(
+                [f"P{int(x)}" for x in rng.integers(0, 7, n)], dtype=object
+            ),
+            "o_totalprice": np.round(rng.uniform(10, 1000, n), 2),
+        }
+    )
+    # one tiny group (< 4 rows) to pin the n<k branch
+    t = pa.concat_tables(
+        [
+            t,
+            pa.table(
+                {
+                    "o_orderkey": pa.array([n + 1, n + 2], pa.int64()),
+                    "o_orderpriority": pa.array(["TINY", "TINY"]),
+                    "o_totalprice": pa.array([5.0, 6.0]),
+                }
+            ),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="lg_ntile_")
+    pq.write_table(t, os.path.join(d, "orders.parquet"))
+    got = (
+        R.order_price_ntile(d)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        f"""
+        SELECT o_orderkey,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM read_parquet('{d}/orders.parquet') ORDER BY o_orderkey
+        """
+    ).fetchdf()
+    assert (got["quartile"].to_numpy() == want["quartile"].to_numpy()).all()
