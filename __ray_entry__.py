@@ -808,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_by_lang": R.quality_filter_by_lang,
         "embedding_label_centroids": _label_centroids,
         "order_price_ntile": R.order_price_ntile,
+        "stratified_sample_docs": R.stratified_sample_docs,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1100,6 +1101,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
             FROM toks WHERE tok <> ''
             GROUP BY tok ORDER BY n DESC, token LIMIT 20
+        """,
+        "stratified_sample_docs": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS hk
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY hk, doc_id
+                     ) AS BIGINT) AS rk
+              FROM h
+            )
+            SELECT lang, doc_id, rk FROM r WHERE rk <= 5
         """,
         "doc_split_assignment": """
             SELECT doc_id,

@@ -1875,6 +1875,78 @@ def top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     )
 
 
+def stratified_sample_docs(sf_dir: str, per_lang: int = 5) -> rd.Dataset:
+    """Deterministic stratified sample: the ``per_lang`` docs per language
+    with the smallest ``(md5(doc_id), doc_id)`` sort key — a reproducible
+    uniform-without-replacement sample per stratum (the
+    ``doc_split_assignment`` hash-based recipe applied to group-local
+    rank), identical at any parallelism and recomputable in SQL.
+
+    Scale shape: block-local top-``per_lang`` per language first (the
+    grouped-top-k combiner — at most ``per_lang`` rows per lang per block
+    survive), then one key co-location finishes the rank.  Output:
+    ``(lang, doc_id, rk)``."""
+    import hashlib
+
+    d = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        }
+    )
+
+    def topk_block(t: pa.Table, final: bool) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty if final else pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs_np = np.asarray(t["lang"].to_pylist(), dtype=object)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        order = np.lexsort((ids, h, langs_np))
+        langs_np, ids = langs_np[order], ids[order]
+        run_id, starts = _group_runs(langs_np)
+        pos = np.arange(len(ids), dtype=np.int64) - starts[run_id]
+        keep = pos < per_lang
+        if final:
+            return pa.table(
+                {
+                    "lang": pa.array(langs_np[keep].astype(str)),
+                    "doc_id": pa.array(ids[keep]),
+                    "rk": pa.array(pos[keep] + 1),
+                }
+            )
+        return pa.table(
+            {
+                "lang": pa.array(langs_np[keep].astype(str)),
+                "doc_id": pa.array(ids[keep]),
+            }
+        )
+
+    pruned = d.map_batches(
+        lambda t: topk_block(t, final=False), batch_format="pyarrow"
+    )
+    co = colocate_by_key(pruned, "lang")
+    return co.map_batches(
+        lambda t: topk_block(t, final=True),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def doc_split_assignment(sf_dir: str, val_pct: int = 10) -> rd.Dataset:
     """Deterministic train/val split: ``split = 'val'`` iff the first 60
     bits of ``md5(str(doc_id))`` mod 100 < ``val_pct``.
