@@ -760,3 +760,56 @@ def test_ntile_matches_duckdb_window():
         """
     ).fetchdf()
     assert (got["quartile"].to_numpy() == want["quartile"].to_numpy()).all()
+
+
+def test_window_distinct_users_hot_window_skew():
+    """90% of events in ONE window (viral spike): the two-level distinct
+    plan must stay correct — and never needs the hot window's user set in
+    a single task."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from linkgraph import relational as R
+
+    rng = np.random.default_rng(43)
+    n = 50_000
+    hot = rng.random(n) < 0.9
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    offs = np.where(
+        hot,
+        rng.integers(0, 15 * 60 * 10**6, n),            # hot 15-min window
+        rng.integers(15 * 60 * 10**6, 86_400 * 10**6, n),
+    )
+    t = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": base + offs.astype("timedelta64[us]"),
+            "user_id": rng.integers(0, 2_000, n).astype(np.int64),
+            "event_type": np.array(["click"] * n, dtype=object),
+            "value": np.zeros(n),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="lg_wdu_")
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = (
+        R.window_distinct_users(d)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        f"""
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+                 AS window_start,
+               count(DISTINCT user_id) AS n_users
+        FROM read_parquet('{d}/events.parquet')
+        GROUP BY window_start ORDER BY window_start
+        """
+    ).fetchdf()
+    assert len(got) == len(want)
+    assert (got["n_users"].to_numpy() == want["n_users"].to_numpy()).all()
+    # the hot window saw (almost surely) every user
+    assert got["n_users"].max() == 2_000
