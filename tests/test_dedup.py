@@ -168,3 +168,67 @@ def test_decontaminate_empty_eval_flags_nothing():
                   "text": pa.array([], pa.string())})
     )
     assert decontaminate(train, eval_ds, n=8).count() == 0
+
+
+def test_decontaminate_property_vs_bruteforce():
+    """Property (random corpora): the hash-space decontamination equals a
+    brute-force Python n-gram set intersection for every (train, eval)
+    pair — distinct shared-gram counts included."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    from linkgraph.dedup import decontaminate
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+    def grams(text, n):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        train=st.lists(
+            st.lists(token, min_size=0, max_size=12), min_size=1, max_size=5
+        ),
+        ev=st.lists(
+            st.lists(token, min_size=0, max_size=12), min_size=1, max_size=3
+        ),
+        n=st.integers(2, 4),
+    )
+    def check(train, ev, n):
+        ttexts = [" ".join(d) for d in train]
+        etexts = [" ".join(d) for d in ev]
+        tr = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(ttexts)), pa.int64()),
+                    "text": pa.array(ttexts, pa.string()),
+                }
+            )
+        )
+        e = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(etexts)), pa.int64()),
+                    "text": pa.array(etexts, pa.string()),
+                }
+            )
+        )
+        df = decontaminate(tr, e, n=n).to_pandas()
+        got = (
+            {}
+            if len(df) == 0  # empty Dataset -> schema-less DataFrame
+            else dict(zip(df["doc_id"].astype(int), df["n_shared"].astype(int)))
+        )
+        eset = set().union(*(grams(t, n) for t in etexts)) if etexts else set()
+        want = {
+            i: len(grams(t, n) & eset)
+            for i, t in enumerate(ttexts)
+            if grams(t, n) & eset
+        }
+        assert got == want
+
+    check()

@@ -813,3 +813,55 @@ def test_window_distinct_users_hot_window_skew():
     assert (got["n_users"].to_numpy() == want["n_users"].to_numpy()).all()
     # the hot window saw (almost surely) every user
     assert got["n_users"].max() == 2_000
+
+
+def test_chunk_documents_property_reconstruction():
+    """Property (random corpora): concatenating each doc's chunk tokens
+    with stride-overlap removed reconstructs the doc's token stream
+    exactly, and every chunk except the last has exactly `size` tokens."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    from linkgraph.relational import chunk_documents
+
+    token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(token, min_size=0, max_size=40), min_size=1, max_size=6
+        ),
+        size=st.integers(2, 10),
+        stride_off=st.integers(1, 5),
+    )
+    def check(docs, size, stride_off):
+        stride = max(1, size - stride_off)
+        texts = [" ".join(d) for d in docs]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            chunk_documents(
+                rd.from_arrow(t), size=size, stride=min(stride, size)
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+        )
+        stride = min(stride, size)
+        for i, txt in enumerate(texts):
+            toks = txt.split(" ")
+            rows = out[out.doc_id == i]
+            assert len(rows) >= 1
+            recon = []
+            for _, r in rows.iterrows():
+                ctoks = r.chunk_text.split(" ")
+                start = int(r.chunk_id) * stride
+                assert ctoks == toks[start : start + size]
+                recon = recon[:start] + ctoks
+            assert recon == toks
+
+    check()
