@@ -146,6 +146,48 @@ def _sssp_membership(sf_dir: str):
     return out
 
 
+def _region_closeness(sf_dir: str):
+    """Closeness centrality of the region vertices on the membership
+    graph: per region, the reachable-vertex count, total hop distance and
+    closeness ``(n_reachable − 1) / sum_dist`` — one BFS per region
+    (bounded: |regions| runs of the standard frontier kernel), the
+    classic sampled-sources closeness estimator run in its EXHAUSTIVE
+    regime over the natural source set.  Value-checked against a
+    per-source recursive-walk DuckDB oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from linkgraph.bfs import bfs_hops
+    from linkgraph.pipelines import REGION_OFFSET, membership_edges
+
+    regions = sorted(
+        pq.read_table(
+            os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"]
+        )["r_regionkey"].to_pylist()
+    )
+    rows = []
+    for r in regions:
+        dists, _ = bfs_hops(
+            membership_edges(sf_dir), REGION_OFFSET + r, num_partitions=8
+        )
+        df = dists.to_pandas()  # bounded membership graph (one row/vertex)
+        n = len(df)
+        total = int(df["dist"].sum())
+        rows.append((r, n, total, round((n - 1) / total, 6) if total else 0.0))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "region": pa.array([x[0] for x in rows], pa.int64()),
+                "n_reachable": pa.array([x[1] for x in rows], pa.int64()),
+                "sum_dist": pa.array([x[2] for x in rows], pa.int64()),
+                "closeness": pa.array([x[3] for x in rows], pa.float64()),
+            }
+        )
+    )
+
+
 def _cc_frequent_label(sf_dir: str):
     """Seeded sample-mode estimate of the giant component's label (ref
     ``sample_frequent_element``, ``src/cc_openmp.c:422-496``), run in the
@@ -809,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": _label_centroids,
         "order_price_ntile": R.order_price_ntile,
         "stratified_sample_docs": R.stratified_sample_docs,
+        "region_closeness": _region_closeness,
         # (c) fresh round-3 green rows below — the leading ones re-check for
         # free; everything past the 50-entry driver cap rests on its r3 row
         # plus the in-repo pytest oracle gate (tests/test_entry_contract.py)
@@ -1815,6 +1858,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.v
             )
             SELECT v AS vertex, min(r) AS label FROM reach GROUP BY v
+        """,
+        "region_closeness": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            sym AS (
+              SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+            ),
+            walk(s, v, d) AS (
+              SELECT CAST(3000000000 AS BIGINT) + r_regionkey,
+                     CAST(3000000000 AS BIGINT) + r_regionkey, 0
+              FROM region
+              UNION
+              SELECT walk.s, sym.dst, walk.d + 1
+              FROM walk JOIN sym ON sym.src = walk.v WHERE walk.d < 8
+            ),
+            best AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+            SELECT CAST(s - 3000000000 AS BIGINT) AS region,
+                   CAST(count(*) AS BIGINT) AS n_reachable,
+                   CAST(sum(d) AS BIGINT) AS sum_dist,
+                   round(CAST(count(*) - 1 AS DOUBLE) / sum(d), 6) AS closeness
+            FROM best GROUP BY s
         """,
         "cc_membership_sizes": """
             WITH RECURSIVE e AS (
