@@ -25,6 +25,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from linkgraph.runtime import round_half_away
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: edges → CC labels."""
@@ -167,15 +169,18 @@ def _region_closeness(sf_dir: str):
             os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"]
         )["r_regionkey"].to_pylist()
     )
+    # One parquet read + edge build for all |regions| BFS runs (round-4
+    # verdict: the per-source loop used to re-read the table per region).
+    edges = membership_edges(sf_dir).materialize()
     rows = []
     for r in regions:
-        dists, _ = bfs_hops(
-            membership_edges(sf_dir), REGION_OFFSET + r, num_partitions=8
-        )
+        dists, _ = bfs_hops(edges, REGION_OFFSET + r, num_partitions=8)
         df = dists.to_pandas()  # bounded membership graph (one row/vertex)
         n = len(df)
         total = int(df["dist"].sum())
-        rows.append((r, n, total, round((n - 1) / total, 6) if total else 0.0))
+        rows.append(
+            (r, n, total, round_half_away((n - 1) / total) if total else 0.0)
+        )
     return rd.from_arrow(
         pa.table(
             {
@@ -207,7 +212,7 @@ def _cc_frequent_label(sf_dir: str):
         pa.table(
             {
                 "label": pa.array([label], pa.int64()),
-                "est_frequency": pa.array([round(freq, 6)], pa.float64()),
+                "est_frequency": pa.array([round_half_away(freq)], pa.float64()),
             }
         )
     )
@@ -238,7 +243,7 @@ def _pagerank_top100(sf_dir: str):
     def fin(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return pa.table({"vertex": t["vertex"], "score": pc.round(t["rank"], 6)})
+        return pa.table({"vertex": t["vertex"], "score": pc.round(t["rank"], 6, round_mode="half_towards_infinity")})
 
     return (
         res.ranks.map_batches(fin, batch_format="pyarrow")
@@ -276,7 +281,7 @@ def _weighted_pagerank_fixed4(sf_dir: str):
     )
 
     def fin(t: pa.Table) -> pa.Table:
-        return pa.table({"vertex": t["vertex"], "score": pc.round(t["rank"], 6)})
+        return pa.table({"vertex": t["vertex"], "score": pc.round(t["rank"], 6, round_mode="half_towards_infinity")})
 
     return (
         res.ranks.map_batches(fin, batch_format="pyarrow")
@@ -489,7 +494,7 @@ def _pagerank_membership_fixed4(sf_dir: str):
         import pyarrow.compute as pc
 
         return pa.table(
-            {"vertex": t["vertex"], "score": pc.round(t["rank"], 6)}
+            {"vertex": t["vertex"], "score": pc.round(t["rank"], 6, round_mode="half_towards_infinity")}
         )
 
     return res.ranks.map_batches(fin, batch_format="pyarrow")
@@ -511,7 +516,7 @@ def _cc_membership_summary(sf_dir: str):
                 "num_components": pa.array([int(summary["num_components"])], pa.int64()),
                 "min_size": pa.array([int(summary["min_size"])], pa.int64()),
                 "max_size": pa.array([int(summary["max_size"])], pa.int64()),
-                "avg_size": pa.array([round(summary["avg_size"], 6)], pa.float64()),
+                "avg_size": pa.array([round_half_away(summary["avg_size"])], pa.float64()),
             }
         )
     )
@@ -536,7 +541,7 @@ def _pagerank_membership_directed_fixed4(sf_dir: str):
         import pyarrow.compute as pc
 
         return pa.table(
-            {"vertex": t["vertex"], "score": pc.round(t["rank"], 6)}
+            {"vertex": t["vertex"], "score": pc.round(t["rank"], 6, round_mode="half_towards_infinity")}
         )
 
     return res.ranks.map_batches(fin, batch_format="pyarrow")
@@ -700,7 +705,7 @@ def _knn_ivf(sf_dir: str):
             {
                 "query_id": t["query_id"],
                 "vec_id": t["vec_id"],
-                "cos_sim": pc.round(t["cos_sim"], 6),
+                "cos_sim": pc.round(t["cos_sim"], 6, round_mode="half_towards_infinity"),
                 "rank": t["rank"],
             }
         )
@@ -781,11 +786,11 @@ def _media_features(sf_dir: str):
         return t.set_column(
             t.schema.get_field_index("mean_val"),
             "mean_val",
-            pc.round(t["mean_val"], ndigits=6),
+            pc.round(t["mean_val"], ndigits=6, round_mode="half_towards_infinity"),
         ).set_column(
             t.schema.get_field_index("std_val"),
             "std_val",
-            pc.round(t["std_val"], ndigits=6),
+            pc.round(t["std_val"], ndigits=6, round_mode="half_towards_infinity"),
         )
 
     return out.map_batches(rnd, batch_format="pyarrow")

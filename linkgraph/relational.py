@@ -21,6 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from linkgraph.graph import default_partitions as _np
+from linkgraph.runtime import round_half_away
 from linkgraph import graph as G
 from linkgraph.pipelines import edges_from_lineitem
 
@@ -732,7 +733,7 @@ def hll_distinct_users(sf_dir: str) -> rd.Dataset:
             {
                 "n_users_exact": pa.array([exact], pa.int64()),
                 "n_users_hll": pa.array([int(round(est))], pa.int64()),
-                "rel_err": pa.array([round(rel, 6)], pa.float64()),
+                "rel_err": pa.array([round_half_away(rel)], pa.float64()),
                 "within_3sigma": pa.array([rel <= bound], pa.bool_()),
             }
         )
@@ -1577,7 +1578,7 @@ def graph_degree_stats(sf_dir: str) -> rd.Dataset:
                 "min_degree": pa.array([min(p["min_deg"] for p in parts)], pa.int64()),
                 "max_degree": pa.array([max(p["max_deg"] for p in parts)], pa.int64()),
                 "avg_degree": pa.array(
-                    [round(sum_deg / n, 6) if n else 0.0], pa.float64()
+                    [round_half_away(sum_deg / n) if n else 0.0], pa.float64()
                 ),
             }
         )
@@ -1616,7 +1617,7 @@ def knn_vec0_top10(sf_dir: str) -> rd.Dataset:
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "cos_sim": pa.array(np.round(cos, 6)),
+                "cos_sim": pa.array(round_half_away(cos)),
             }
         )
 
@@ -2055,7 +2056,10 @@ def quality_filter_by_lang(sf_dir: str) -> rd.Dataset:
             lambda t: pa.table(
                 {
                     "doc_id": t["doc_id"],
-                    "quality": pc.round(t["quality"], ndigits=6),
+                    "quality": pc.round(
+                        t["quality"], ndigits=6,
+                        round_mode="half_towards_infinity",
+                    ),
                 }
             ),
             batch_format="pyarrow",
@@ -2108,7 +2112,8 @@ def quality_filter_by_lang(sf_dir: str) -> rd.Dataset:
                     "lang": t["lang"],
                     "n_docs_kept": t["n_docs_kept"],
                     "min_quality_kept": pc.round(
-                        t["min_quality_kept"], ndigits=6
+                        t["min_quality_kept"], ndigits=6,
+                        round_mode="half_towards_infinity",
                     ),
                 }
             ),

@@ -131,6 +131,28 @@ def broadcast_gate_rows(bytes_per_row: int, crossover_rows: int) -> int:
         return crossover_rows
 
 
+def round_half_away(x, decimals: int = 6):
+    """Round ties away from zero — the DuckDB/ANSI-SQL ``round()`` convention.
+
+    ``np.round`` / Python ``round`` / pyarrow's default round are all
+    half-to-even; any value this engine rounds for 6-dp comparison against a
+    DuckDB oracle must use THIS helper (or ``pc.round(...,
+    round_mode="half_towards_infinity")``) so an exact tie at the
+    ``decimals+1``-th digit cannot hash-mismatch the oracle.  Accepts a
+    scalar (returns float) or array-like (returns float64 ndarray).
+    """
+    import numpy as np
+
+    scale = 10.0**decimals
+    if np.ndim(x) == 0:
+        xf = float(x)
+        import math
+
+        return math.copysign(math.floor(abs(xf) * scale + 0.5), xf) / scale
+    arr = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(arr) * scale + 0.5), arr) / scale
+
+
 def list_column_to_matrix(col, dtype=None):
     """Uniform-length (chunked) list column → ``(n, d)`` numpy matrix.
 

@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from linkgraph.runtime import round_half_away
+
 
 def _to_matrix(col) -> np.ndarray:
     from linkgraph.runtime import list_column_to_matrix
@@ -316,7 +318,7 @@ def knn_ivf_recall(
         pa.table(
             {
                 "query_id": pa.array(qids, pa.int64()),
-                "recall": pa.array(np.round(rec, 6), pa.float64()),
+                "recall": pa.array(round_half_away(rec), pa.float64()),
             }
         )
     )
@@ -392,7 +394,7 @@ def label_centroids(ds: rd.Dataset, *, label_col: str = "label",
         starts = np.flatnonzero(change)
         sums = np.add.reduceat(mat, starts, axis=0)
         counts = np.add.reduceat(n, starts)
-        cent = np.round(sums / counts[:, None], 6)
+        cent = round_half_away(sums / counts[:, None])
         d = mat.shape[1]
         out_lab = np.repeat(lab[starts], d)
         out_dim = np.tile(np.arange(d, dtype=np.int64), len(starts))

@@ -98,3 +98,40 @@ def test_pages_to_cc_end_to_end():
     got = {r["vertex"]: r["label"] for r in res.labels.take_all()}
     assert got == exp
     assert res.num_components == 4
+
+
+def test_vector_normalize_matches_scalar_on_adversarial_hrefs():
+    """The polars fast paths must agree byte-for-byte with normalize_url on
+    every href class — including dot-segment relative paths ("/a/../b",
+    "/..", "/a/./b") which urljoin collapses, and bare-"?" absolute hrefs
+    which urlsplit/urlunsplit strips (round-5 ADVICE divergences)."""
+    base = "http://h.example.com/x/y"
+    hrefs = [
+        "/a/../b",
+        "/a/./b",
+        "/..",
+        "/.",
+        "/..?q=1",
+        "/.hidden/ok",
+        "/a.b/c",
+        "https://host.example.com/p?",
+        "https://host.example.com/p?q=1",
+        "https://host.example.com/a/../b",
+        "/plain/path",
+        "//proto.relative.com/z",
+        "rel/child",
+        "#frag",
+        "mailto:x@y.z",
+        "/ok?x=1&y=2",
+    ]
+    tbl = extract._normalize_edges_vector([base] * len(hrefs), hrefs)
+    got = list(
+        zip(tbl["src_url"].to_pylist(), tbl["dst_url"].to_pylist())
+    )
+    want, seen = [], set()
+    for h in hrefs:
+        u = extract.normalize_url(h, base)
+        if u is not None and (base, u) not in seen:
+            seen.add((base, u))
+            want.append((base, u))
+    assert got == want

@@ -493,3 +493,45 @@ def test_memory_gate_forces_sharded_handoff(monkeypatch):
     )
 
     assert triangle_count(rd.from_arrow(t), num_partitions=4, mode="dataflow") == 0
+
+
+def test_broadcast_join_auto_gate_obeys_runtime_envelope(monkeypatch):
+    """With max_rows unset, broadcast_join derives its gate from
+    runtime.broadcast_gate_rows (cluster-memory envelope, same as the
+    kernels — VERDICT r4 #5); shrinking the envelope via the override env
+    var must force the bucket_join fallback with identical results."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph.partition import broadcast_join
+
+    rng = np.random.default_rng(23)
+    left = pa.table(
+        {
+            "key": rng.integers(0, 300, 4_000).astype(np.int64),
+            "lv": np.arange(4_000, dtype=np.int64),
+        }
+    )
+    right = pa.table(
+        {
+            "key": np.arange(300, dtype=np.int64),
+            "rv": np.arange(300, dtype=np.int64) * 7,
+        }
+    )
+
+    def run():
+        out = broadcast_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            left_on="key",
+            right_on="key",
+        ).to_pandas()
+        return out.sort_values(["key", "lv"]).reset_index(drop=True)
+
+    auto = run()  # derived gate >= 300 on any real box -> broadcast path
+    monkeypatch.setenv("LINKGRAPH_BROADCAST_GATE_ROWS", "50")
+    forced = run()  # right (300 rows) over the shrunk gate -> bucket_join
+    assert len(auto) == 4_000
+    assert auto.equals(forced)
+    assert (auto["rv"] == auto["key"] * 7).all()
