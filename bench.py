@@ -5,10 +5,16 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "detail": {...edges/sec, iterations...}}
 
-``--scaling`` runs the headline twice in fresh processes at
-RAY_GRAFT_CPUS=8 and 32 on the same input and reports throughput at both
-plus scaling efficiency (BASELINE.md sandbox adaptation of the north rule's
-N-vs-4N-node criterion).
+Every per-pipeline time is the MINIMUM over GRAFT_BENCH_REPEATS (default
+2) in-process repeats — single runs on this box carry one-sided
+interference noise larger than real round-over-round deltas.
+
+``--scaling`` runs the four north-rule kernels (cc, pagerank, triangles,
+extract_cc) in fresh processes at RAY_GRAFT_CPUS=8 and 32 on the same
+input and reports throughput at both plus per-kernel and combined scaling
+efficiency, raw and normalized to the host's parallel-memcpy ceiling
+(BASELINE.md sandbox adaptation of the north rule's N-vs-4N-node
+criterion).
 """
 
 from __future__ import annotations
@@ -110,9 +116,6 @@ def run_bench() -> dict:
     def want(name: str) -> bool:
         return only is None or name in only
 
-    queries: dict[str, float] = {}
-    detail: dict[str, object] = {}
-
     # graph-kernel input: a deterministic planted graph at ~16M edges
     # (large enough that the distributed star rounds run — smaller graphs
     # contract straight into the driver-local finish — and that marginal
@@ -146,115 +149,139 @@ def run_bench() -> dict:
             _touch, batch_format="pyarrow"
         ).count()
 
-    # --- CC (flagship) ---
-    if want("cc"):
-        t0 = time.perf_counter()
-        cc_res = connected_components(
-            rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
-            num_partitions=num_partitions,
-        )
-        queries["cc"] = time.perf_counter() - t0
-        detail["cc"] = {
-            "edges": n_edges,
-            "rounds": cc_res.num_iterations,
-            "components": cc_res.num_components,
-            "edges_per_sec": n_edges / queries["cc"],
-            "edges_per_sec_per_superstep": n_edges
-            * cc_res.num_iterations
-            / queries["cc"],
-        }
+    def measure() -> tuple[dict, dict]:
+        queries: dict[str, float] = {}
+        detail: dict[str, object] = {}
+        _measure_into(queries, detail)
+        return queries, detail
 
-    # --- PageRank (fixed 5 supersteps; auto mode broadcasts the rank
-    # vector — 3 MB at this vertex count — and keeps edges distributed;
-    # shuffle mode is the >50M-vertex scale path) ---
-    PR_ITERS = 5
-    if want("pagerank"):
-        t0 = time.perf_counter()
-        pr = pagerank(
-            rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
-            directed=False,
-            num_partitions=num_partitions,
-            tol=0.0,
-            max_iters=PR_ITERS,
-        )
-        queries["pagerank"] = time.perf_counter() - t0
-        sym_edges = 2 * n_edges
-        detail["pagerank"] = {
-            "iterations": pr.num_iterations,
-            "num_vertices": pr.num_vertices,
-            "mode": pr.metrics[-1].get("mode"),
-            "edges_per_sec_per_superstep": sym_edges
-            * pr.num_iterations
-            / queries["pagerank"],
-        }
+    def _measure_into(queries: dict, detail: dict) -> None:
+        # --- CC (flagship) ---
+        if want("cc"):
+            t0 = time.perf_counter()
+            cc_res = connected_components(
+                rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
+                num_partitions=num_partitions,
+            )
+            queries["cc"] = time.perf_counter() - t0
+            detail["cc"] = {
+                "edges": n_edges,
+                "rounds": cc_res.num_iterations,
+                "components": cc_res.num_components,
+                "edges_per_sec": n_edges / queries["cc"],
+                "edges_per_sec_per_superstep": n_edges
+                * cc_res.num_iterations
+                / queries["cc"],
+            }
 
-    # --- triangles (BSP path) on the same planted graph ---
-    if want("triangles"):
-        t0 = time.perf_counter()
-        n_tri = triangle_count(
-            rd.read_parquet(graph_path, override_num_blocks=graph_blocks)
-        )
-        queries["triangles"] = time.perf_counter() - t0
-        detail["triangles"] = {
-            "n_triangles": n_tri,
-            "edges_per_sec": n_edges / queries["triangles"],
-        }
+        # --- PageRank (fixed 5 supersteps; auto mode broadcasts the rank
+        # vector — 3 MB at this vertex count — and keeps edges distributed;
+        # shuffle mode is the >50M-vertex scale path) ---
+        PR_ITERS = 5
+        if want("pagerank"):
+            t0 = time.perf_counter()
+            pr = pagerank(
+                rd.read_parquet(graph_path, override_num_blocks=graph_blocks),
+                directed=False,
+                num_partitions=num_partitions,
+                tol=0.0,
+                max_iters=PR_ITERS,
+            )
+            queries["pagerank"] = time.perf_counter() - t0
+            sym_edges = 2 * n_edges
+            detail["pagerank"] = {
+                "iterations": pr.num_iterations,
+                "num_vertices": pr.num_vertices,
+                "mode": pr.metrics[-1].get("mode"),
+                "edges_per_sec_per_superstep": sym_edges
+                * pr.num_iterations
+                / queries["pagerank"],
+            }
 
-    # --- extraction → CC on synthetic pages (north-rule pipeline);
-    # fixture generation is cached parquet OUTSIDE the timed region (it is
-    # a driver-side Python loop, not part of the pipeline under test), and
-    # sized so the actor-pool spin-up amortizes into steady-state
-    # extraction throughput ---
-    # 48k pages: large enough that actor-pool spin-up amortizes into
-    # steady-state extraction throughput (2.5k pages/s at 12k pages vs
-    # ~9.7k at 48k, 32 CPUs)
-    if want("extract_cc"):
-        n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "48000"))
-        pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
-        if not os.path.exists(pages_path):
-            import pyarrow.parquet as pq
+        # --- triangles (BSP path) on the same planted graph ---
+        if want("triangles"):
+            t0 = time.perf_counter()
+            n_tri = triangle_count(
+                rd.read_parquet(graph_path, override_num_blocks=graph_blocks)
+            )
+            queries["triangles"] = time.perf_counter() - t0
+            detail["triangles"] = {
+                "n_triangles": n_tri,
+                "edges_per_sec": n_edges / queries["triangles"],
+            }
 
-            pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
-            pq.write_table(pages, pages_path, row_group_size=1 << 10)
-        # untimed warm decode (same protocol as the graph fixture above)
-        rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus).map_batches(
-            _touch, batch_format="pyarrow"
-        ).count()
-        t0 = time.perf_counter()
-        pres = pages_pipeline(
-            rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),
-            num_partitions=num_partitions,
-        )
-        queries["extract_cc"] = time.perf_counter() - t0
-        detail["extract_cc"] = {
-            "components": pres.num_components,
-            "pages": n_pages,
-            "pages_per_sec": round(n_pages / queries["extract_cc"], 1),
-        }
+        # --- extraction → CC on synthetic pages (north-rule pipeline);
+        # fixture generation is cached parquet OUTSIDE the timed region (it is
+        # a driver-side Python loop, not part of the pipeline under test), and
+        # sized so the actor-pool spin-up amortizes into steady-state
+        # extraction throughput ---
+        # 48k pages: large enough that actor-pool spin-up amortizes into
+        # steady-state extraction throughput (2.5k pages/s at 12k pages vs
+        # ~9.7k at 48k, 32 CPUs)
+        if want("extract_cc"):
+            n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "48000"))
+            pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
+            if not os.path.exists(pages_path):
+                import pyarrow.parquet as pq
 
-    # --- relational headline (Q1-shaped aggregate) ---
-    if want("pricing_summary"):
-        t0 = time.perf_counter()
-        R.lineitem_pricing_summary(sf_dir).to_pandas()
-        queries["pricing_summary"] = time.perf_counter() - t0
+                pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
+                pq.write_table(pages, pages_path, row_group_size=1 << 10)
+            # untimed warm decode (same protocol as the graph fixture above)
+            rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus).map_batches(
+                _touch, batch_format="pyarrow"
+            ).count()
+            t0 = time.perf_counter()
+            pres = pages_pipeline(
+                rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),
+                num_partitions=num_partitions,
+            )
+            queries["extract_cc"] = time.perf_counter() - t0
+            detail["extract_cc"] = {
+                "components": pres.num_components,
+                "pages": n_pages,
+                "pages_per_sec": round(n_pages / queries["extract_cc"], 1),
+            }
 
-    # --- join + groupby ---
-    if want("orders_per_segment"):
-        t0 = time.perf_counter()
-        R.orders_per_segment(sf_dir).to_pandas()
-        queries["orders_per_segment"] = time.perf_counter() - t0
+        # --- relational headline (Q1-shaped aggregate) ---
+        if want("pricing_summary"):
+            t0 = time.perf_counter()
+            R.lineitem_pricing_summary(sf_dir).to_pandas()
+            queries["pricing_summary"] = time.perf_counter() - t0
 
-    # --- dedup ---
-    if want("exact_dedup"):
-        t0 = time.perf_counter()
-        R.exact_dedup_docs(sf_dir).count()
-        queries["exact_dedup"] = time.perf_counter() - t0
+        # --- join + groupby ---
+        if want("orders_per_segment"):
+            t0 = time.perf_counter()
+            R.orders_per_segment(sf_dir).to_pandas()
+            queries["orders_per_segment"] = time.perf_counter() - t0
 
-    # --- similarity ---
-    if want("knn"):
-        t0 = time.perf_counter()
-        R.knn_vec0_top10(sf_dir).to_pandas()
-        queries["knn"] = time.perf_counter() - t0
+        # --- dedup ---
+        if want("exact_dedup"):
+            t0 = time.perf_counter()
+            R.exact_dedup_docs(sf_dir).count()
+            queries["exact_dedup"] = time.perf_counter() - t0
+
+        # --- similarity ---
+        if want("knn"):
+            t0 = time.perf_counter()
+            R.knn_vec0_top10(sf_dir).to_pandas()
+            queries["knn"] = time.perf_counter() - t0
+
+    # Per-pipeline MINIMUM over in-process repeats (VERDICT r4 "Next
+    # round" #2): single runs at 1.6-3.4 s absolute are inside this box's
+    # observed run-to-run noise (the r4 href A/B's reps spanned 2.87-4.61 s
+    # for the SAME variant), and interference is one-sided — it only ever
+    # adds time — so the min over repeats estimates the true cost.  Each
+    # query takes its detail dict from the repeat that achieved the min so
+    # derived stats stay consistent with the reported time (ADVICE r2).
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    runs = [measure() for _ in range(repeats)]
+    queries: dict[str, float] = {}
+    detail: dict[str, object] = {}
+    for k in runs[0][0]:
+        wi = min(range(repeats), key=lambda i: runs[i][0][k])
+        queries[k] = runs[wi][0][k]
+        if k in runs[wi][1]:
+            detail[k] = runs[wi][1][k]
 
     ray.shutdown()
     total = sum(queries.values())
@@ -265,6 +292,7 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "repeats": repeats,
         "detail": detail,
     }
 
@@ -300,20 +328,29 @@ def _memcpy_probe(ncpu: int, total_mb: int = 8192, repeats: int = 3) -> float:
 
 
 def run_scaling() -> dict:
-    # the scaling comparison runs ONLY the north-rule kernels (cc +
-    # pagerank), at an amortizing graph size (default 25.6 M vertices /
-    # 64 M edges; override with GRAFT_SCALING_VERTICES) — the fixed
-    # per-execution orchestration cost shrinks relative to kernel work as
-    # the graph grows, which is exactly the regime a real N-vs-4N-node
-    # cluster comparison sits in
+    # the scaling comparison runs the north-rule kernels — CC, PageRank,
+    # triangles and the extract→CC pipeline (VERDICT r4 "Next round" #3;
+    # reference anchor: the all-algorithms sweep of
+    # scripts/run_benchmarks.sh:38-71) — at an amortizing graph size
+    # (default 25.6 M vertices / 64 M edges; override with
+    # GRAFT_SCALING_VERTICES) — the fixed per-execution orchestration cost
+    # shrinks relative to kernel work as the graph grows, which is exactly
+    # the regime a real N-vs-4N-node cluster comparison sits in
     scaling_vertices = os.environ.get("GRAFT_SCALING_VERTICES", "25600000")
+    kernels = os.environ.get(
+        "GRAFT_SCALING_KERNELS", "cc,pagerank,triangles,extract_cc"
+    ).split(",")
 
     def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_ONLY="cc,pagerank",
+            GRAFT_BENCH_ONLY=",".join(kernels),
             GRAFT_BENCH_VERTICES=scaling_vertices,
+            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "96000"),
+            # repeats happen at PROCESS level here (fresh ray session per
+            # repeat, the established scaling protocol) — not in-process
+            GRAFT_BENCH_REPEATS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
@@ -348,11 +385,14 @@ def run_scaling() -> dict:
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
-    # scaling efficiency on the iterative kernels (cc + pagerank), the
-    # north-rule headline
-    t_lo = r_lo["queries"]["cc"] + r_lo["queries"]["pagerank"]
-    t_hi = r_hi["queries"]["cc"] + r_hi["queries"]["pagerank"]
+    # scaling efficiency over ALL north-rule kernels, plus per-kernel
+    t_lo = sum(r_lo["queries"][k] for k in kernels)
+    t_hi = sum(r_hi["queries"][k] for k in kernels)
     eff = (t_lo / t_hi) / (hi / lo)
+    per_kernel_eff = {
+        k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
+        for k in kernels
+    }
     # the host's own parallel memory-bandwidth ceiling under the identical
     # fixed-total-work protocol: a single shared-memory box saturates its
     # memory controllers well before 32 copy streams, so raw memcpy itself
@@ -364,9 +404,15 @@ def run_scaling() -> dict:
     m_hi = _memcpy_probe(hi)
     memcpy_eff = (m_lo / m_hi) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_cc_pagerank",
+        "metric": "scaling_efficiency_kernels",
         "value": round(eff, 3),
         "unit": "ratio",
+        "kernels": kernels,
+        "per_kernel_eff": per_kernel_eff,
+        "per_kernel_eff_normalized": {
+            k: round(min(v / memcpy_eff, 1.0), 3) if memcpy_eff > 0 else None
+            for k, v in per_kernel_eff.items()
+        },
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": round(t_lo, 3),
