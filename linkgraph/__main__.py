@@ -8,7 +8,8 @@ cluster.  Submit with e.g.::
 
 Subcommands mirror the kernel surface: ``cc``, ``pagerank``, ``labelprop``,
 ``triangles``, ``bfs``, ``sssp`` (parquet-only — the MTX reader discards
-edge values, reference parity), ``extract-cc`` (pages parquet → href
+edge values, reference parity), ``ppr`` (personalized PageRank over a seed
+set), ``hits`` (hubs & authorities), ``extract-cc`` (pages parquet → href
 edges → components).
 Results are written as partitioned Parquet (resumable output — one file per
 block, never one giant file) and a one-line JSON summary goes to stdout.
@@ -97,6 +98,27 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--source", type=int, required=True, help="source vertex id")
     sp.add_argument("--weight-col", default="w")
     common(sp)
+
+    sp = sub.add_parser("ppr")
+    src_grp = sp.add_mutually_exclusive_group(required=True)
+    src_grp.add_argument("--edges", help="edge parquet (src, dst)")
+    src_grp.add_argument("--mtx", help="Matrix Market edge-list file")
+    sp.add_argument("--seeds", required=True,
+                    help="comma-separated seed vertex ids (restart set)")
+    sp.add_argument("--damping", type=float, default=0.85)
+    sp.add_argument("--tol", type=float, default=1e-8)
+    sp.add_argument("--max-iters", type=int, default=200)
+    sp.add_argument("--undirected", action="store_true")
+    common(sp)
+
+    sp = sub.add_parser("hits")
+    src_grp = sp.add_mutually_exclusive_group(required=True)
+    src_grp.add_argument("--edges", help="edge parquet (src, dst)")
+    src_grp.add_argument("--mtx", help="Matrix Market edge-list file")
+    sp.add_argument("--max-iters", type=int, default=20)
+    sp.add_argument("--tol", type=float, default=0.0)
+    sp.add_argument("--output", required=True, help="output parquet directory")
+    sp.add_argument("--num-partitions", type=int, default=None)
 
     sp = sub.add_parser("extract-cc")
     sp.add_argument("--pages", required=True,
@@ -201,6 +223,35 @@ def main(argv: list[str] | None = None) -> int:
             pa.table({"triangles": pa.array([n], pa.int64())})
         ).write_parquet(args.output)
         summary = {"cmd": "triangles", "triangles": n}
+    elif args.cmd == "ppr":
+        from linkgraph.pagerank import personalized_pagerank
+
+        seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+        res = personalized_pagerank(
+            _edge_input(args),
+            seeds,
+            directed=not args.undirected,
+            damping=args.damping,
+            tol=args.tol,
+            max_iters=args.max_iters,
+            checkpointer=_ckpt(args),
+            resume=args.resume,
+        )
+        res.ranks.write_parquet(args.output)
+        summary = {"cmd": "ppr", "num_vertices": res.num_vertices,
+                   "num_seeds": len(set(seeds)),
+                   "iterations": res.num_iterations}
+    elif args.cmd == "hits":
+        from linkgraph.hits import hits
+
+        res = hits(
+            _edge_input(args),
+            max_iters=args.max_iters,
+            tol=args.tol,
+        )
+        res.scores.write_parquet(args.output)
+        summary = {"cmd": "hits", "num_vertices": res.num_vertices,
+                   "iterations": res.num_iterations}
     elif args.cmd == "extract-cc":
         import ray.data as rd
 

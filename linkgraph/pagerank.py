@@ -1369,3 +1369,184 @@ def weighted_pagerank(
     return PageRankResult(
         rd.from_arrow_refs(tables).materialize(), num_v, iters, metrics
     )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank — teleport restricted to a seed set
+# --------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=1)
+def _ppr_seed_vec(gprep, seeds: np.ndarray, inv_s: float) -> np.ndarray:
+    """Per-group personalization vector: ``p[i] = 1/|S|`` where
+    ``vids[i] ∈ seeds`` (vids are sorted — one searchsorted probe)."""
+    vids = gprep[0]
+    p = np.zeros(len(vids))
+    if len(vids) and len(seeds):
+        idx = np.searchsorted(vids, seeds)
+        in_range = idx < len(vids)
+        hit = np.zeros(len(seeds), dtype=bool)
+        hit[in_range] = vids[idx[in_range]] == seeds[in_range]
+        p[idx[hit]] = inv_s
+    return p
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _ppr_apply(gprep, rank_vec, p_vec, coeff, damping, *chunks):
+    """Personalized apply: ``r' = coeff·p + d·contrib`` where
+    ``coeff = (1-d) + d·dm`` folds the teleport and the dangling-mass
+    redistribution (both land on the seed distribution p, not uniformly —
+    the defining difference from global PageRank)."""
+    vids = gprep[0]
+    contrib = np.zeros(len(vids))
+    for ch in chunks:
+        pairs = ch if isinstance(ch, list) else [ch]
+        for tgt_c, p_c in pairs:
+            if len(tgt_c):
+                contrib[np.searchsorted(vids, tgt_c)] += p_c
+    new = coeff * p_vec + damping * contrib
+    return new, float(np.abs(new - rank_vec).sum())
+
+
+def personalized_pagerank(
+    edges: rd.Dataset,
+    seeds,
+    *,
+    directed: bool = True,
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 200,
+    checkpointer: Checkpointer | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> PageRankResult:
+    """Personalized PageRank (random walk with restart to a seed set).
+
+    Update: ``r'(v) = (1-d)·p(v) + d·(Σ_{u→v} r(u)/outdeg(u) + dm·p(v))``
+    with ``p = uniform over seeds`` and ``r0 = p`` — the standard RWR
+    formulation (Page et al. 1999 §6; Jeh & Widom 2003).  Dangling mass
+    restarts at the seeds, so total mass stays 1 at every superstep.
+
+    Same object-store-sharded BSP machinery as :func:`pagerank` (one state
+    shard per owner group, one emit task per sub-block; nothing per-vertex
+    touches the driver) — the only deltas are the per-group personalization
+    vector (built once from a broadcast sorted seed array) and the apply's
+    ``coeff·p`` term.  Seeds must be vertices of the graph; ``|S|`` counts
+    the distinct seed ids given.  No reference twin (the reference computes
+    CC only); public-algorithm citation above.
+    """
+    from linkgraph import bsp
+    from linkgraph import graph as G
+    from linkgraph.runtime import tune_context
+
+    tune_context()
+    t0 = time.perf_counter()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if len(seeds) == 0:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    inv_s = 1.0 / len(seeds)
+    metrics: list[dict[str, Any]] = []
+    if directed:
+        groups, _n_rows, _n_vert = bsp.raw_map_dst_exchange(
+            edges, _dir_sym_batch, dedup_sort_src=True, schema=_DIR_SCHEMA,
+            grouped=True,
+        )
+        gps = [_pr_dir_group_prep.options(num_returns=2).remote(*g) for g in groups]
+    else:
+        groups, _n_rows, _n_vert = bsp.raw_map_dst_exchange(
+            edges, G.sym_prep_batch, dedup_sort_src=True, grouped=True
+        )
+        gps = [_pr_group_prep.options(num_returns=2).remote(*g) for g in groups]
+    metas = ray.get([p[1] for p in gps])
+    keep = [i for i, (n, _) in enumerate(metas) if n > 0]
+    gpreps = [gps[i][0] for i in keep]
+    counts = [metas[i][0] for i in keep]
+    firsts = np.asarray([metas[i][1] for i in keep], dtype=np.int64)
+    num_v = int(sum(counts))
+    k = len(gpreps)
+    if k == 0:
+        empty = rd.from_arrow(
+            pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+        return PageRankResult(empty, 0, 0, metrics)
+    sub_owner: list[int] = []
+    subs: list = []
+    for gi, i in enumerate(keep):
+        whole = len(groups[i]) == 1
+        for b in groups[i]:
+            sub_owner.append(gi)
+            if directed:
+                subs.append(_dir_sub_prep.remote(b, gps[i][0], whole))
+            else:
+                subs.append(bsp.sub_emit_prep.remote(b, gps[i][0], True, whole))
+    firsts_ref = ray.put(firsts)
+    seeds_ref = ray.put(seeds)
+    pvecs = [_ppr_seed_vec.remote(gpreps[j], seeds_ref, inv_s) for j in range(k)]
+    start = 1
+    ranks = None
+    if resume and checkpointer is not None:
+        # non-seed vertices start at 0, so 0.0 is the correct default for
+        # any vertex a (partial) checkpoint does not cover
+        latest = checkpointer.load_shards(gpreps, firsts, "rank", default=0.0)
+        if latest is not None:
+            last_it, ranks, meta = latest
+            start = last_it + 1
+            metrics.append(meta)
+    if ranks is None:
+        ranks = list(pvecs)  # r0 = p
+    metrics.append(
+        {"phase": "bsp_prep", "num_vertices": num_v, "mode": "ppr",
+         "num_seeds": int(len(seeds)), "num_groups": k,
+         "num_subblocks": len(subs), "wall_s": time.perf_counter() - t0}
+    )
+
+    iters = 0
+    for it in range(start, start + max_iters):
+        t1 = time.perf_counter()
+        if directed:
+            dm = float(
+                sum(ray.get([_dangling_sum.remote(gpreps[j], ranks[j]) for j in range(k)]))
+            )
+        else:
+            dm = 0.0  # post-symmetrize every vertex has outdeg ≥ 1
+        coeff = (1.0 - damping) + damping * dm
+        emits = [
+            _bsp_shuffle_emit.options(num_returns=k).remote(
+                subs[e], gpreps[sub_owner[e]], ranks[sub_owner[e]], firsts_ref
+            )
+            for e in range(len(subs))
+        ]
+        if k == 1:
+            emits = [[e] for e in emits]
+        outs = [
+            _ppr_apply.remote(
+                gpreps[j], ranks[j], pvecs[j], coeff, damping,
+                *[emits[e][j] for e in range(len(subs))]
+            )
+            for j in range(k)
+        ]
+        ranks = [o[0] for o in outs]
+        delta = float(sum(ray.get([o[1] for o in outs])))
+        iters += 1
+        metrics.append(
+            {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
+             "mode": "ppr", "wall_s": time.perf_counter() - t1}
+        )
+        converged = tol > 0 and delta < tol
+        if checkpointer is not None and (converged or it % checkpoint_every == 0):
+            checkpointer.save_shards(
+                it,
+                [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)],
+                {"iteration": it, "l1_delta": delta, "dangling_mass": dm,
+                 "num_vertices": num_v, "mode": "ppr"},
+            )
+        if converged:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(f"personalized pagerank exceeded {max_iters} iterations")
+
+    tables = [_bsp_ranks_table.remote(gpreps[j], ranks[j]) for j in range(k)]
+    return PageRankResult(
+        rd.from_arrow_refs(tables).materialize(), num_v, iters, metrics
+    )

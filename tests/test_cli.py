@@ -113,3 +113,31 @@ def test_cli_decontaminate(tmp_path, capsys):
     assert summary["flagged"] == 1
     got = pq.read_table(out)
     assert got.to_pydict()["doc_id"] == [1]
+
+
+def test_cli_ppr_and_hits(tmp_path, capsys):
+    edges, _ = synth.make_planted_graph(200, 2, 4, seed=19)
+    inp = str(tmp_path / "edges.parquet")
+    pq.write_table(edges, inp)
+
+    out = str(tmp_path / "ppr")
+    rc = main([
+        "ppr", "--edges", inp, "--seeds", "0,5", "--max-iters", "10",
+        "--tol", "0", "--output", out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["iterations"] == 10 and summary["num_seeds"] == 2
+    got = pq.read_table(out)
+    assert {"vertex", "rank"} <= set(got.column_names)
+    # RWR conserves mass
+    assert abs(sum(got["rank"].to_pylist()) - 1.0) < 1e-9
+
+    out2 = str(tmp_path / "hits")
+    rc = main(["hits", "--edges", inp, "--max-iters", "3", "--output", out2])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["iterations"] == 3
+    got2 = pq.read_table(out2)
+    assert {"vertex", "hub", "authority"} <= set(got2.column_names)
+    assert got2.num_rows == summary["num_vertices"]

@@ -321,3 +321,165 @@ def test_weighted_pagerank_skew_and_straddle():
     got_map = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
     got = np.array([got_map[int(v)] for v in touched])
     assert np.allclose(got, exp, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank
+# --------------------------------------------------------------------------
+
+
+def _ppr_oracle_directed(src, dst, seeds, iters, d=0.85):
+    """Dense RWR oracle: distinct edges, self-loops dropped, r0 = p,
+    dangling mass restarts at the seeds."""
+    pairs = {(int(s), int(t)) for s, t in zip(src, dst) if s != t}
+    verts = sorted({u for u, v in pairs} | {v for u, v in pairs})
+    vi = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for u, v in pairs:
+        A[vi[u], vi[v]] = 1.0
+    outdeg = A.sum(1)
+    p = np.zeros(n)
+    for s in np.unique(np.asarray(seeds)):
+        p[vi[int(s)]] = 1.0 / len(np.unique(np.asarray(seeds)))
+    r = p.copy()
+    for _ in range(iters):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            push = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        contrib = A.T @ push
+        dm = r[outdeg == 0].sum()
+        r = ((1 - d) + d * dm) * p + d * contrib
+    return verts, vi, r
+
+
+def test_ppr_directed_matches_oracle():
+    from linkgraph.pagerank import personalized_pagerank
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 80, 300)
+    dst = rng.integers(0, 80, 300)
+    seeds = [5, 40, 41]
+    verts, vi, exp = _ppr_oracle_directed(src, dst, seeds, iters=8)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    res = personalized_pagerank(edges, seeds, directed=True, tol=0.0, max_iters=8)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    assert len(got) == len(verts)
+    assert np.allclose([got[v] for v in verts], [exp[vi[v]] for v in verts], atol=1e-12)
+    # RWR conserves total mass (dangling restarts at the seeds)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_converges_and_localizes():
+    """On two disconnected cliques, PPR seeded in one clique puts ~all mass
+    there — the locality property global PageRank doesn't have."""
+    from linkgraph.pagerank import personalized_pagerank
+
+    def clique(base, k):
+        s, t = [], []
+        for i in range(k):
+            for j in range(k):
+                if i != j:
+                    s.append(base + i)
+                    t.append(base + j)
+        return s, t
+
+    s1, t1 = clique(0, 5)
+    s2, t2 = clique(100, 5)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(s1 + s2, pa.int64()),
+                "dst": pa.array(t1 + t2, pa.int64()),
+            }
+        )
+    )
+    res = personalized_pagerank(edges, [0], directed=True, tol=1e-12, max_iters=200)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    mass_far = sum(v for k_, v in got.items() if k_ >= 100)
+    assert mass_far == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_undirected_and_determinism_across_partitioning():
+    from linkgraph.pagerank import personalized_pagerank
+
+    rng = np.random.default_rng(29)
+    src = rng.integers(0, 60, 240)
+    dst = rng.integers(0, 60, 240)
+    seeds = [7]
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    # undirected oracle: symmetrized distinct edges
+    pairs = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in zip(src, dst) if a != b}
+    verts = sorted({u for u, v in pairs} | {v for u, v in pairs})
+    vi = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for u, v in pairs:
+        A[vi[u], vi[v]] = A[vi[v], vi[u]] = 1.0
+    deg = A.sum(1)
+    p = np.zeros(n)
+    p[vi[7]] = 1.0
+    r = p.copy()
+    for _ in range(6):
+        r = 0.15 * p + 0.85 * (A.T @ (r / deg))
+    res1 = personalized_pagerank(
+        rd.from_arrow(t).repartition(2), seeds, directed=False, tol=0.0, max_iters=6
+    )
+    res2 = personalized_pagerank(
+        rd.from_arrow(t).repartition(7), seeds, directed=False, tol=0.0, max_iters=6
+    )
+    g1 = {r_["vertex"]: r_["rank"] for r_ in res1.ranks.take_all()}
+    g2 = {r_["vertex"]: r_["rank"] for r_ in res2.ranks.take_all()}
+    assert set(g1) == set(g2)
+    # 1e-12 across partitionings (repo float-kernel determinism bar)
+    assert all(abs(g1[v] - g2[v]) < 1e-12 for v in g1)
+    assert np.allclose([g1[v] for v in verts], [r[vi[v]] for v in verts], atol=1e-12)
+
+
+def test_ppr_hub_skew_and_straddle():
+    """Hub vertex + ids straddling 2^31 through the personalized path."""
+    from linkgraph.pagerank import personalized_pagerank
+
+    hub = (np.int64(1) << 31) + 3
+    n = 150
+    leaves = np.arange(n, dtype=np.int64) * 11
+    src = np.concatenate([leaves, np.full(n // 3, hub, dtype=np.int64)])
+    dst = np.concatenate([np.full(n, hub, dtype=np.int64), leaves[: n // 3] + 1])
+    seeds = [int(hub), 0]
+    verts, vi, exp = _ppr_oracle_directed(src, dst, seeds, iters=10)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    res = personalized_pagerank(edges.repartition(4), seeds, directed=True, tol=0.0, max_iters=10)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.take_all()}
+    assert np.allclose([got[v] for v in verts], [exp[vi[v]] for v in verts], atol=1e-12)
+
+
+def test_ppr_checkpoint_resume(tmp_ckpt):
+    """Kill after superstep 2, resume supersteps 3-6 — identical to the
+    uninterrupted run (the kernel checkpoint/resume contract)."""
+    from linkgraph.checkpoint import Checkpointer
+    from linkgraph.pagerank import personalized_pagerank
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 40, 160)
+    dst = rng.integers(0, 40, 160)
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    seeds = [1, 2]
+    full = personalized_pagerank(
+        rd.from_arrow(t), seeds, directed=True, tol=0.0, max_iters=6
+    )
+    ck = Checkpointer(str(tmp_ckpt))
+    personalized_pagerank(
+        rd.from_arrow(t), seeds, directed=True, tol=0.0, max_iters=2,
+        checkpointer=ck,
+    )
+    resumed = personalized_pagerank(
+        rd.from_arrow(t), seeds, directed=True, tol=0.0, max_iters=4,
+        checkpointer=ck, resume=True,
+    )
+    gf = {r["vertex"]: r["rank"] for r in full.ranks.take_all()}
+    gr = {r["vertex"]: r["rank"] for r in resumed.ranks.take_all()}
+    assert gf == gr
