@@ -159,9 +159,8 @@ def _region_closeness(sf_dir: str):
     import os
 
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from linkgraph.bfs import bfs_hops
+    from linkgraph.bfs import closeness_centrality
     from linkgraph.pipelines import REGION_OFFSET, membership_edges
 
     regions = sorted(
@@ -169,28 +168,28 @@ def _region_closeness(sf_dir: str):
             os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"]
         )["r_regionkey"].to_pylist()
     )
-    # One parquet read + edge build for all |regions| BFS runs (round-4
-    # verdict: the per-source loop used to re-read the table per region).
-    edges = membership_edges(sf_dir).materialize()
-    rows = []
-    for r in regions:
-        dists, _ = bfs_hops(edges, REGION_OFFSET + r, num_partitions=8)
-        df = dists.to_pandas()  # bounded membership graph (one row/vertex)
-        n = len(df)
-        total = int(df["dist"].sum())
-        rows.append(
-            (r, n, total, round_half_away((n - 1) / total) if total else 0.0)
-        )
-    return rd.from_arrow(
-        pa.table(
+    # the general sampled-sources operator in its exhaustive regime (the
+    # source set is the natural bounded one); it materializes the edge
+    # build ONCE for all |regions| BFS runs and folds each run's stats to
+    # three scalars via per-block partials
+    stats, _metrics = closeness_centrality(
+        membership_edges(sf_dir),
+        [REGION_OFFSET + r for r in regions],
+        num_partitions=8,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        clo = t["closeness"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "region": pa.array([x[0] for x in rows], pa.int64()),
-                "n_reachable": pa.array([x[1] for x in rows], pa.int64()),
-                "sum_dist": pa.array([x[2] for x in rows], pa.int64()),
-                "closeness": pa.array([x[3] for x in rows], pa.float64()),
+                "region": pa.compute.subtract(t["source"], REGION_OFFSET),
+                "n_reachable": t["n_reachable"],
+                "sum_dist": t["sum_dist"],
+                "closeness": pa.array([round_half_away(x) for x in clo]),
             }
         )
-    )
+
+    return stats.map_batches(fin, batch_format="pyarrow")
 
 
 def _cc_frequent_label(sf_dir: str):

@@ -289,3 +289,139 @@ def sssp(
         edges, {int(source): 0}, 0, num_partitions, max_iters,
         weight_col=weight_col, checkpointer=checkpointer, resume=resume,
     )
+
+
+def _bottom_k_sample_sources(
+    edges: rd.Dataset, k: int, seed: int
+) -> list[int]:
+    """Deterministic seeded sample of ``k`` vertices: the k smallest
+    ``splitmix64(id XOR mix(seed))`` values over the vertex set — a
+    uniform-without-replacement sample that is identical at any
+    parallelism (the KMV bottom-k recipe applied to sampling).  Per-block
+    bottom-k partials (≤ k rows per block leave the worker) fold on the
+    driver; the vertex set never materializes anywhere."""
+    from linkgraph.sketch import _mix64
+
+    salt = _mix64(np.array([seed], dtype=np.int64).view(np.uint64))[0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()), "h": pa.array([], pa.uint64())}
+            )
+        v = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64, copy=False)
+        h = _mix64(v.view(np.uint64) ^ salt)
+        if len(v) > k:
+            idx = np.argpartition(h, k)[:k]
+            v, h = v[idx], h[idx]
+        return pa.table({"v": pa.array(v), "h": pa.array(h, pa.uint64())})
+
+    rows = edges.map_batches(partial, batch_format="pyarrow").take_all()
+    v = np.array([r["v"] for r in rows], dtype=np.int64)
+    h = np.array([r["h"] for r in rows], dtype=np.uint64)
+    # blocks overlap in vertices — dedup by id keeping one hash (hashes are
+    # a pure function of the id, so duplicates agree)
+    v, uniq_idx = np.unique(v, return_index=True)
+    h = h[uniq_idx]
+    if len(v) > k:
+        idx = np.argpartition(h, k)[:k]
+        v = v[idx]
+    return sorted(int(x) for x in v)
+
+
+def closeness_centrality(
+    edges: rd.Dataset,
+    sources: list[int] | None = None,
+    *,
+    max_sources: int | None = None,
+    seed: int = 0,
+    num_partitions: int | None = None,
+    max_iters: int = 1000,
+) -> tuple[rd.Dataset, list[dict[str, Any]]]:
+    """Closeness centrality by per-source BFS: for each source, the
+    reachable-vertex count, total hop distance, and closeness
+    ``(n_reachable − 1) / sum_dist`` (the Wasserman–Faust per-component
+    convention; 0.0 for isolated sources).
+
+    ``sources=None`` samples ``max_sources`` vertices with the seeded
+    deterministic bottom-k recipe — the sampled-sources estimator of
+    Eppstein & Wang (SODA 2001): per-source closeness is exact, the
+    SAMPLE bounds total work at ``max_sources`` BFS runs on a graph whose
+    vertex count makes the exhaustive sweep (|V| BFS runs) infeasible.
+    An explicit ``sources`` list larger than ``max_sources`` is sampled
+    the same way.  Each BFS is the standard frontier kernel
+    (``bfs_hops``); its per-source stats fold to three scalars via a
+    per-block partial — the distance table never lands on the driver.
+
+    Returns ``(stats, metrics)``: stats has one row per (sampled) source
+    ``(source, n_reachable, sum_dist, closeness)``; metrics records the
+    source count and whether sampling was applied."""
+    t0 = time.perf_counter()
+    sampled = False
+    if sources is None:
+        if max_sources is None:
+            raise ValueError(
+                "closeness_centrality needs sources or max_sources — an "
+                "unbounded exhaustive sweep is |V| BFS runs"
+            )
+        sources = _bottom_k_sample_sources(edges, max_sources, seed)
+        sampled = True
+    else:
+        sources = sorted({int(s) for s in sources})
+        if max_sources is not None and len(sources) > max_sources:
+            from linkgraph.sketch import _mix64
+
+            salt = _mix64(np.array([seed], dtype=np.int64).view(np.uint64))[0]
+            v = np.asarray(sources, dtype=np.int64)
+            h = _mix64(v.view(np.uint64) ^ salt)
+            idx = np.argpartition(h, max_sources)[:max_sources]
+            sources = sorted(int(x) for x in v[idx])
+            sampled = True
+
+    edges = edges.materialize()  # one read/build for all |sources| runs
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n = len(t) if t.num_columns else 0
+        s = int(pc.sum(t["dist"]).as_py() or 0) if n else 0
+        return pa.table(
+            {"n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64())}
+        )
+
+    rows = []
+    metrics: list[dict[str, Any]] = [
+        {"phase": "sources", "num_sources": len(sources), "sampled": sampled,
+         "seed": seed, "wall_s": time.perf_counter() - t0}
+    ]
+    for src in sources:
+        t1 = time.perf_counter()
+        dists, bfs_metrics = bfs_hops(
+            edges, src, num_partitions=num_partitions, max_iters=max_iters
+        )
+        parts = dists.map_batches(stats_partial, batch_format="pyarrow").take_all()
+        n = sum(r["n"] for r in parts)
+        total = sum(r["s"] for r in parts)
+        clo = (n - 1) / total if total else 0.0
+        rows.append((src, n, total, clo))
+        metrics.append(
+            {"source": src, "n_reachable": n, "sum_dist": total,
+             "supersteps": len(bfs_metrics),
+             "wall_s": time.perf_counter() - t1}
+        )
+    stats = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([x[0] for x in rows], pa.int64()),
+                "n_reachable": pa.array([x[1] for x in rows], pa.int64()),
+                "sum_dist": pa.array([x[2] for x in rows], pa.int64()),
+                "closeness": pa.array([x[3] for x in rows], pa.float64()),
+            }
+        )
+    )
+    return stats, metrics

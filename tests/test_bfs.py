@@ -4,6 +4,7 @@ from collections import deque
 
 import numpy as np
 import pyarrow as pa
+import ray.data as rd
 
 from linkgraph import graph as G, synth
 from linkgraph.bfs import bfs_hops
@@ -221,3 +222,65 @@ def test_bfs_checkpoint_resume(tmp_path):
     )
     got = again.to_pandas().sort_values("vertex").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_closeness_centrality_exhaustive_matches_brute():
+    """Path graph 0-1-2-3-4: closed-form closeness per source."""
+    from linkgraph.bfs import closeness_centrality
+
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    stats, metrics = closeness_centrality(edges, [0, 1, 2, 3, 4])
+    got = {r["source"]: r for r in stats.take_all()}
+    # sum of hop distances from each position on a 5-path
+    exp_sum = {0: 10, 1: 7, 2: 6, 3: 7, 4: 10}
+    for v, s in exp_sum.items():
+        assert got[v]["n_reachable"] == 5
+        assert got[v]["sum_dist"] == s
+        assert abs(got[v]["closeness"] - 4 / s) < 1e-12
+    assert metrics[0]["sampled"] is False
+
+
+def test_closeness_centrality_sampled_mode_deterministic():
+    from linkgraph.bfs import closeness_centrality
+
+    edges_t, _ = synth.make_planted_graph(400, 4, 4, seed=51)
+    edges = rd.from_arrow(edges_t)
+    s1, m1 = closeness_centrality(edges, max_sources=6, seed=9)
+    s2, m2 = closeness_centrality(edges, max_sources=6, seed=9)
+    r1 = sorted(tuple(r.values()) for r in s1.take_all())
+    r2 = sorted(tuple(r.values()) for r in s2.take_all())
+    assert r1 == r2 and len(r1) == 6
+    assert m1[0]["sampled"] is True
+    # a different seed picks a different sample (overwhelmingly likely);
+    # checked on the sampler directly — no need to pay 6 more BFS runs
+    from linkgraph.bfs import _bottom_k_sample_sources
+
+    assert _bottom_k_sample_sources(edges, 6, 10) != _bottom_k_sample_sources(
+        edges, 6, 9
+    )
+    # sampled per-source values are EXACT: spot-check one source
+    some = s1.take_all()[0]
+    exact, _ = closeness_centrality(edges, [some["source"]])
+    er = exact.take_all()[0]
+    assert (er["n_reachable"], er["sum_dist"]) == (
+        some["n_reachable"], some["sum_dist"]
+    )
+
+
+def test_closeness_centrality_caps_explicit_sources():
+    from linkgraph.bfs import closeness_centrality
+
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    stats, metrics = closeness_centrality(
+        edges, [0, 1, 2, 3, 4], max_sources=3, seed=1
+    )
+    rows = stats.take_all()
+    assert len(rows) == 3 and metrics[0]["sampled"] is True
+    import pytest
+
+    with pytest.raises(ValueError):
+        closeness_centrality(edges)  # unbounded exhaustive sweep refused
