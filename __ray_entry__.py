@@ -680,6 +680,30 @@ def _ppr_region_membership_fixed4(sf_dir: str):
     return res.ranks.map_batches(fin, batch_format="pyarrow")
 
 
+def _random_walks_membership(sf_dir: str):
+    """DeepWalk-style walk corpus on the membership graph: 2 hash-driven
+    walks of length 3 from every nation vertex — value-checked against a
+    3-step ranked-adjacency join SQL oracle that replays the hash step
+    selection bit-for-bit (the walks are a pure function of (graph,
+    starts, seed), which is exactly what makes them SQL-replayable;
+    ``linkgraph/walks.py`` module docstring)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from linkgraph.pipelines import NATION_OFFSET, membership_edges
+    from linkgraph.walks import random_walks
+
+    nk = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"]
+    )["n_nationkey"].to_pylist()
+    starts = [NATION_OFFSET + int(x) for x in nk]
+    walks, _metrics = random_walks(
+        membership_edges(sf_dir), starts, length=3, walks_per_start=2, seed=0
+    )
+    return walks
+
+
 def _hits_membership_fixed2(sf_dir: str):
     """HITS hubs & authorities (Kleinberg, JACM 1999) on the directed
     membership graph, EXACTLY 2 full iterations with L2 normalization
@@ -999,21 +1023,23 @@ def _media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order matters: the driver value-checks the FIRST 50 entries.
 
-    With 94 entries and a 50-row cap, coverage rotates per round so no
+    With 95 entries and a 50-row cap, coverage rotates per round so no
     entry's driver row ages more than one round (VERDICT r4 "Next round"
     #1).  Round-5 layout: (a) the 40 entries whose driver rows are r3 —
     led by the five join-family queries whose bucket_join merge switched
     to Arrow's C++ hash join in round 4; (b) the new round-5 entries
     (PageRank/LP checkpoint-resume contracts, the self-gating lang_id,
-    personalized PageRank, HITS); (c) five entries whose code round 5
-    touched (extractor fast-path fix, closeness-loop hoist,
-    SQL-convention rounding); (d) the 44 entries holding fresh r4 green
-    rows, rotated behind the cap — they rest on those rows plus the
-    in-repo pytest oracle gate (tests/test_entry_contract.py), which
-    value-checks every oracle-paired entry on current code each session
-    (that gate also covers the two rounding-touched r4-green entries,
-    cc_membership_summary / cc_frequent_label, displaced below the cap
-    to make room for the two new kernels).
+    personalized PageRank, HITS, the hash-driven walk corpus); (c) four
+    entries whose code round 5 touched (extractor fast-path fix,
+    closeness operator, SQL-convention rounding); (d) the 45 entries
+    holding fresh r4 green rows, rotated behind the cap — they rest on
+    those rows plus the in-repo pytest oracle gate
+    (tests/test_entry_contract.py), which value-checks every
+    oracle-paired entry on current code each session (that gate also
+    covers the rounding-touched r4-green entries cc_membership_summary /
+    cc_frequent_label / knn_ivf_recall, displaced below the cap to make
+    room for the three new kernels — knn_ivf_recall self-certifies
+    in-row, so its driver row was rows-only either way).
     """
     from linkgraph import relational as R
 
@@ -1065,16 +1091,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _lang_id,
         "ppr_region_membership_fixed4": _ppr_region_membership_fixed4,
         "hits_membership_fixed2": _hits_membership_fixed2,
+        "random_walks_membership": _random_walks_membership,
         # (c) entries whose code round 5 touched
         "extraction_cc": _extraction_cc,
         "region_closeness": _region_closeness,
         "embedding_label_centroids": _label_centroids,
         "quality_filter_by_lang": R.quality_filter_by_lang,
-        "knn_ivf_recall": _knn_ivf_recall,
         # ---- 50-entry driver cap ----
         # (d) fresh r4 green rows below; pytest oracle gate re-checks all
-        # (cc_membership_summary / cc_frequent_label displaced from (c):
-        # r4-green, rounding tweak covered by the in-repo oracle gate)
+        # (cc_membership_summary / cc_frequent_label / knn_ivf_recall
+        # displaced from (c) for the three new round-5 kernels: r4-green,
+        # rounding tweak covered by the in-repo oracle gate, and
+        # knn_ivf_recall self-certifies in-row — its driver row is
+        # rows-only either way)
+        "knn_ivf_recall": _knn_ivf_recall,
         "cc_membership_summary": _cc_membership_summary,
         "cc_frequent_label": _cc_frequent_label,
         "weighted_pagerank_top100": _weighted_pagerank_fixed4,
@@ -2327,6 +2357,63 @@ def _oracle_sql_dict(stoplist: str, bpe_sql: str) -> dict[str, str]:
               GROUP BY pv.v, pv.p
             )
             SELECT v AS vertex, round(r, 6) AS score FROM r4
+        """,
+        "random_walks_membership": """
+            WITH base_e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            undir AS (
+              SELECT src, dst FROM base_e WHERE src <> dst
+              UNION
+              SELECT dst AS src, src AS dst FROM base_e WHERE src <> dst
+            ),
+            adj AS (
+              SELECT src AS v, dst AS u,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+              FROM undir
+            ),
+            deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+            w AS (
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS start,
+                     CAST(gs.i AS INTEGER) AS widx
+              FROM nation, generate_series(0, 1) gs(i)
+            ),
+            s0 AS (SELECT start, widx, 0 AS step, start AS vertex FROM w),
+            s1 AS (
+              SELECT s0.start, s0.widx, 1 AS step, a.u AS vertex
+              FROM s0
+              JOIN deg dg ON dg.v = s0.vertex
+              JOIN adj a ON a.v = s0.vertex
+               AND a.rk = ((s0.start % 2147483647) * 1103515245
+                           + s0.widx * CAST(12345 AS BIGINT) + 1 * CAST(747796405 AS BIGINT))
+                          % 2147483647 % dg.d
+            ),
+            s2 AS (
+              SELECT s1.start, s1.widx, 2 AS step, a.u AS vertex
+              FROM s1
+              JOIN deg dg ON dg.v = s1.vertex
+              JOIN adj a ON a.v = s1.vertex
+               AND a.rk = ((s1.start % 2147483647) * 1103515245
+                           + s1.widx * CAST(12345 AS BIGINT) + 2 * CAST(747796405 AS BIGINT))
+                          % 2147483647 % dg.d
+            ),
+            s3 AS (
+              SELECT s2.start, s2.widx, 3 AS step, a.u AS vertex
+              FROM s2
+              JOIN deg dg ON dg.v = s2.vertex
+              JOIN adj a ON a.v = s2.vertex
+               AND a.rk = ((s2.start % 2147483647) * 1103515245
+                           + s2.widx * CAST(12345 AS BIGINT) + 3 * CAST(747796405 AS BIGINT))
+                          % 2147483647 % dg.d
+            )
+            SELECT start, widx, step, vertex FROM s0
+            UNION ALL SELECT start, widx, step, vertex FROM s1
+            UNION ALL SELECT start, widx, step, vertex FROM s2
+            UNION ALL SELECT start, widx, step, vertex FROM s3
         """,
         "hits_membership_fixed2": """
             WITH base_e AS (

@@ -9,12 +9,12 @@ Every per-pipeline time is the MINIMUM over GRAFT_BENCH_REPEATS (default
 2) in-process repeats — single runs on this box carry one-sided
 interference noise larger than real round-over-round deltas.
 
-``--scaling`` runs the four north-rule kernels (cc, pagerank, triangles,
-extract_cc) in fresh processes at RAY_GRAFT_CPUS=8 and 32 on the same
-input and reports throughput at both plus per-kernel and combined scaling
-efficiency, raw and normalized to the host's parallel-memcpy ceiling
-(BASELINE.md sandbox adaptation of the north rule's N-vs-4N-node
-criterion).
+``--scaling`` runs the north-rule kernels (cc, pagerank, triangles, the
+extraction stage alone, and the composed extract→CC pipeline) in fresh
+processes at RAY_GRAFT_CPUS=8 and 32 on the same input and reports
+throughput at both plus per-kernel and combined scaling efficiency, raw
+and normalized to the host's parallel-memcpy ceiling (BASELINE.md
+sandbox adaptation of the north rule's N-vs-4N-node criterion).
 """
 
 from __future__ import annotations
@@ -218,18 +218,73 @@ def run_bench() -> dict:
         # 48k pages: large enough that actor-pool spin-up amortizes into
         # steady-state extraction throughput (2.5k pages/s at 12k pages vs
         # ~9.7k at 48k, 32 CPUs)
-        if want("extract_cc"):
+        if want("extract_cc") or want("extract"):
             n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "48000"))
-            pages_path = os.path.join("/tmp/linkgraph_bench", f"pages_{n_pages}_s42.parquet")
-            if not os.path.exists(pages_path):
+            # realistic page size: ~1 KB default synth pages make extraction
+            # nearly free relative to pipeline orchestration, hiding the
+            # extractor's CPU scaling entirely (measured: 8-CPU and 32-CPU
+            # runs within noise of each other at ANY page count).  Real
+            # Common-Crawl html is tens of KB; the scaling record uses
+            # ~1500 filler words (~12 KB/page) so the actor pool's scan
+            # cost dominates and scaling is measurable.
+            n_words = int(os.environ.get("GRAFT_BENCH_PAGE_WORDS", "0"))
+            tag = f"pages_{n_pages}_w{n_words}_s42" if n_words else f"pages_{n_pages}_s42"
+            # sharded DIRECTORY like the planted-graph fixture: Ray
+            # parallelizes parquet reads at file granularity
+            pages_path = os.path.join("/tmp/linkgraph_bench", f"{tag}_sharded")
+            done = os.path.join(pages_path, "_SUCCESS")
+            if not os.path.exists(done):
                 import pyarrow.parquet as pq
 
-                pages, _, _ = synth.make_pages(n_pages, seed=42, num_components=8)
-                pq.write_table(pages, pages_path, row_group_size=1 << 10)
+                pages, _, _ = synth.make_pages(
+                    n_pages, seed=42, num_components=8, filler_words=n_words
+                )
+                os.makedirs(pages_path, exist_ok=True)
+                shards = 64
+                for i in range(shards):
+                    lo, hi = i * n_pages // shards, (i + 1) * n_pages // shards
+                    pq.write_table(
+                        pages.slice(lo, hi - lo),
+                        os.path.join(pages_path, f"part-{i:05d}.parquet"),
+                        row_group_size=1 << 10,
+                    )
+                with open(done, "w") as f:
+                    f.write("ok")
             # untimed warm decode (same protocol as the graph fixture above)
             rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus).map_batches(
                 _touch, batch_format="pyarrow"
             ).count()
+
+        # --- extraction STAGE alone (the north-rule extractor deliverable,
+        # measured without the CC tail): pages → href edges → int64 ids,
+        # task-fused with the read.  The full extract→CC pipeline below
+        # carries a fixed CC-on-small-graph tail that cannot amortize at
+        # any driver-feasible fixture size (the CC kernel's own scaling is
+        # recorded at 128 M edges above), so the stage and the composition
+        # are recorded separately. ---
+        if want("extract"):
+            from linkgraph import extract as _ex
+
+            t0 = time.perf_counter()
+            n_eedges = (
+                _ex.url_edges_to_ids(
+                    _ex.pages_to_url_edges(
+                        rd.read_parquet(
+                            pages_path, override_num_blocks=2 * num_cpus
+                        )
+                    )
+                )
+                .materialize()
+                .count()
+            )
+            queries["extract"] = time.perf_counter() - t0
+            detail["extract"] = {
+                "pages": n_pages,
+                "edges": n_eedges,
+                "pages_per_sec": round(n_pages / queries["extract"], 1),
+            }
+
+        if want("extract_cc"):
             t0 = time.perf_counter()
             pres = pages_pipeline(
                 rd.read_parquet(pages_path, override_num_blocks=2 * num_cpus),
@@ -338,7 +393,7 @@ def run_scaling() -> dict:
     # the regime a real N-vs-4N-node cluster comparison sits in
     scaling_vertices = os.environ.get("GRAFT_SCALING_VERTICES", "25600000")
     kernels = os.environ.get(
-        "GRAFT_SCALING_KERNELS", "cc,pagerank,triangles,extract_cc"
+        "GRAFT_SCALING_KERNELS", "cc,pagerank,triangles,extract,extract_cc"
     ).split(",")
 
     def run_once(ncpu: int) -> dict:
@@ -347,7 +402,13 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY=",".join(kernels),
             GRAFT_BENCH_VERTICES=scaling_vertices,
-            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "96000"),
+            # realistic CC-page-sized fixture (~19 KB html → 10 GB total):
+            # extraction must be CPU-bound, not fixed-cost-bound, for the
+            # 8-vs-32 comparison to measure the extractor at all
+            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "1000000"),
+            GRAFT_BENCH_PAGE_WORDS=os.environ.get(
+                "GRAFT_SCALING_PAGE_WORDS", "1500"
+            ),
             # repeats happen at PROCESS level here (fresh ray session per
             # repeat, the established scaling protocol) — not in-process
             GRAFT_BENCH_REPEATS="1",

@@ -138,6 +138,7 @@ def make_pages(
     seed: int = 0,
     num_components: int = 3,
     edges_per_vertex: int = 3,
+    filler_words: int = 0,
 ) -> tuple[pa.Table, pa.Table, np.ndarray]:
     """Pages table wrapping a planted link graph.
 
@@ -146,6 +147,15 @@ def make_pages(
     extractor should recover (before symmetrization); ``expected_labels`` the
     min-id component labels.  The golden ``text`` column is exactly what
     ``extract.extract_text`` must produce, byte-identically, per url.
+
+    ``filler_words`` > 0 appends that many extra body words per page (a
+    30-word seeded sample tiled — cheap to build, full cost to scan), so
+    pages reach realistic Common-Crawl sizes (~1500 words ≈ 10-15 KB of
+    html).  The default fixture's ~1 KB pages make extraction almost free
+    relative to pipeline orchestration, which HIDES the extractor's CPU
+    scaling; benchmark fixtures should pass a realistic size (the scaling
+    record does, BENCH/BASELINE.md).  Filler words join the golden text
+    contract like any other body words.
     """
     rng = np.random.default_rng(seed)
     edges_tbl, labels = make_planted_graph(
@@ -187,6 +197,14 @@ def make_pages(
             para.append(w)
         html_parts.append("<p>" + " ".join(para) + "</p>")
         tokens.extend(para)
+        if filler_words > 0:
+            base = [
+                _WORDS[w] for w in rng.integers(0, len(_WORDS), size=30)
+            ]
+            reps = -(-filler_words // len(base))  # ceil
+            fill = (base * reps)[:filler_words]
+            html_parts.append("<p>" + " ".join(fill) + "</p>")
+            tokens.extend(fill)
         for j in links:
             cj = int(comp_index[j])
             anchor = _WORDS[int(rng.integers(0, len(_WORDS)))]

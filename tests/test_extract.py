@@ -135,3 +135,36 @@ def test_vector_normalize_matches_scalar_on_adversarial_hrefs():
             seen.add((base, u))
             want.append((base, u))
     assert got == want
+
+
+def test_task_fused_mode_identical_to_actor_pool():
+    """compute='tasks' (read-fused, default) and compute='actors' must
+    produce byte-identical extractions — the mode only moves WHERE the
+    scan runs (plasma round-trip vs fused task), never what it computes."""
+    import ray.data as rd
+
+    from linkgraph import extract, synth
+
+    pages, _, _ = synth.make_pages(300, seed=8, num_components=4, filler_words=50)
+    ds = rd.from_arrow(pages)
+    e_tasks = sorted(
+        (r["src_url"], r["dst_url"])
+        for r in extract.pages_to_url_edges(ds, compute="tasks").take_all()
+    )
+    e_actors = sorted(
+        (r["src_url"], r["dst_url"])
+        for r in extract.pages_to_url_edges(ds, compute="actors").take_all()
+    )
+    assert e_tasks == e_actors and len(e_tasks) > 0
+    t_tasks = sorted(
+        (r["url"], r["text"])
+        for r in extract.pages_to_text(ds, compute="tasks").take_all()
+    )
+    t_actors = sorted(
+        (r["url"], r["text"])
+        for r in extract.pages_to_text(ds, compute="actors").take_all()
+    )
+    assert t_tasks == t_actors and len(t_tasks) == 300
+    # golden-text contract holds with filler pages in both modes
+    golden = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    assert all(golden[u] == txt for u, txt in t_tasks)
