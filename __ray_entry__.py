@@ -704,6 +704,69 @@ def _random_walks_membership(sf_dir: str):
     return walks
 
 
+def _membership_nation_modularity(sf_dir: str):
+    """Newman modularity of the NATION grouping over the membership graph
+    (customers labeled by their nation, nations by themselves, regions as
+    their own singleton communities — so every nation→region edge is
+    inter-community and Q is non-trivial), value-checked against an exact
+    closed-form SQL twin.  Exercises `graph.modularity`'s full plan:
+    global canonicalization, two broadcast joins, per-community degree
+    groupby, scalar folds."""
+    import ray.data as rd
+
+    from linkgraph.graph import modularity
+    from linkgraph.pipelines import NATION_OFFSET, REGION_OFFSET, membership_edges
+
+    def cust_lab(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": t["c_custkey"].cast(pa.int64()),
+                "label": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    def nat_lab(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.compute.add(t["n_nationkey"].cast(pa.int64()), NATION_OFFSET),
+                "label": t["n_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    def reg_lab(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vertex": pa.compute.add(t["r_regionkey"].cast(pa.int64()), REGION_OFFSET),
+                "label": pa.compute.add(t["r_regionkey"].cast(pa.int64()), 1000),
+            }
+        )
+
+    labels = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .map_batches(cust_lab, batch_format="pyarrow")
+        .union(
+            rd.read_parquet(
+                f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+            ).map_batches(nat_lab, batch_format="pyarrow")
+        )
+        .union(
+            rd.read_parquet(
+                f"{sf_dir}/region.parquet", columns=["r_regionkey"]
+            ).map_batches(reg_lab, batch_format="pyarrow")
+        )
+    )
+    out = modularity(membership_edges(sf_dir), labels, num_partitions=8)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "m_edges": pa.array([out["m"]], pa.int64()),
+                "intra_edges": pa.array([out["intra"]], pa.int64()),
+                "modularity": pa.array([round_half_away(out["modularity"])], pa.float64()),
+            }
+        )
+    )
+
+
 def _hits_membership_fixed2(sf_dir: str):
     """HITS hubs & authorities (Kleinberg, JACM 1999) on the directed
     membership graph, EXACTLY 2 full iterations with L2 normalization
@@ -1023,23 +1086,23 @@ def _media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order matters: the driver value-checks the FIRST 50 entries.
 
-    With 95 entries and a 50-row cap, coverage rotates per round so no
+    With 96 entries and a 50-row cap, coverage rotates per round so no
     entry's driver row ages more than one round (VERDICT r4 "Next round"
     #1).  Round-5 layout: (a) the 40 entries whose driver rows are r3 —
     led by the five join-family queries whose bucket_join merge switched
     to Arrow's C++ hash join in round 4; (b) the new round-5 entries
     (PageRank/LP checkpoint-resume contracts, the self-gating lang_id,
-    personalized PageRank, HITS, the hash-driven walk corpus); (c) four
-    entries whose code round 5 touched (extractor fast-path fix,
-    closeness operator, SQL-convention rounding); (d) the 45 entries
-    holding fresh r4 green rows, rotated behind the cap — they rest on
-    those rows plus the in-repo pytest oracle gate
+    personalized PageRank, HITS, the hash-driven walk corpus, nation
+    modularity); (c) three entries whose code round 5 touched (extractor
+    one-scan pipeline, closeness operator, SQL-convention rounding);
+    (d) the 46 entries holding fresh r4 green rows, rotated behind the
+    cap — they rest on those rows plus the in-repo pytest oracle gate
     (tests/test_entry_contract.py), which value-checks every
     oracle-paired entry on current code each session (that gate also
-    covers the rounding-touched r4-green entries cc_membership_summary /
-    cc_frequent_label / knn_ivf_recall, displaced below the cap to make
-    room for the three new kernels — knn_ivf_recall self-certifies
-    in-row, so its driver row was rows-only either way).
+    covers the r4-green entries displaced below the cap to make room
+    for the four new kernels: cc_membership_summary / cc_frequent_label
+    / quality_filter_by_lang / knn_ivf_recall — knn_ivf_recall
+    self-certifies in-row, so its driver row was rows-only either way).
     """
     from linkgraph import relational as R
 
@@ -1092,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_region_membership_fixed4": _ppr_region_membership_fixed4,
         "hits_membership_fixed2": _hits_membership_fixed2,
         "random_walks_membership": _random_walks_membership,
+        "membership_nation_modularity": _membership_nation_modularity,
         # (c) entries whose code round 5 touched
         "extraction_cc": _extraction_cc,
         "region_closeness": _region_closeness,
@@ -1099,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_by_lang": R.quality_filter_by_lang,
         # ---- 50-entry driver cap ----
         # (d) fresh r4 green rows below; pytest oracle gate re-checks all
+        "quality_filter_by_lang": R.quality_filter_by_lang,
+        "knn_ivf_recall": _knn_ivf_recall,
         # (cc_membership_summary / cc_frequent_label / knn_ivf_recall
         # displaced from (c) for the three new round-5 kernels: r4-green,
         # rounding tweak covered by the in-repo oracle gate, and
@@ -2357,6 +2423,49 @@ def _oracle_sql_dict(stoplist: str, bpe_sql: str) -> dict[str, str]:
               GROUP BY pv.v, pv.p
             )
             SELECT v AS vertex, round(r, 6) AS score FROM r4
+        """,
+        "membership_nation_modularity": """
+            WITH base_e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            e AS (
+              SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+              FROM base_e WHERE src <> dst
+            ),
+            lab AS (
+              SELECT CAST(c_custkey AS BIGINT) AS v,
+                     CAST(c_nationkey AS BIGINT) AS c FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey,
+                     CAST(n_nationkey AS BIGINT) FROM nation
+              UNION ALL
+              SELECT CAST(3000000000 AS BIGINT) + r_regionkey,
+                     CAST(1000 + r_regionkey AS BIGINT) FROM region
+            ),
+            je AS (
+              SELECT l1.c AS c1, l2.c AS c2
+              FROM e
+              JOIN lab l1 ON l1.v = e.lo
+              JOIN lab l2 ON l2.v = e.hi
+            ),
+            mm AS (SELECT count(*) AS m FROM je),
+            intra AS (SELECT count(*) AS n FROM je WHERE c1 = c2),
+            dc AS (
+              SELECT c, count(*) AS d FROM (
+                SELECT c1 AS c FROM je UNION ALL SELECT c2 AS c FROM je
+              ) GROUP BY c
+            ),
+            ssq AS (SELECT sum(CAST(d AS DOUBLE) * d) AS s FROM dc)
+            SELECT (SELECT m FROM mm) AS m_edges,
+                   (SELECT n FROM intra) AS intra_edges,
+                   round((SELECT n FROM intra) * 1.0 / (SELECT m FROM mm)
+                         - (SELECT s FROM ssq)
+                           / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)),
+                         6) AS modularity
         """,
         "random_walks_membership": """
             WITH base_e AS (

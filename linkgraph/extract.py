@@ -373,3 +373,63 @@ def url_id_map(pages: rd.Dataset) -> rd.Dataset:
         return pa.table({"url": t["url"], "vertex": urls_to_ids(t["url"])})
 
     return pages.select_columns(["url"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _href_and_marker_task(batch: pa.Table) -> pa.Table:
+    """Task-fused extract that ALSO emits one ``(url, NULL)`` marker row
+    per input page, so one pages scan yields both the edge table and the
+    full vertex universe (isolated pages included).  Output schema:
+    ``(src_url: string, dst_url: string?)`` — edge rows have a non-null
+    dst."""
+    global _TASK_HREF
+    if _TASK_HREF is None:
+        _TASK_HREF = HrefExtractor()
+    edges = _TASK_HREF(batch)
+    urls = batch["url"].cast(pa.string())
+    markers = pa.table(
+        {
+            "src_url": urls,
+            "dst_url": pa.nulls(len(urls), pa.string()),
+        }
+    )
+    return pa.concat_tables([edges, markers], promote_options="permissive")
+
+
+def pages_to_edges_and_vertices(
+    pages: rd.Dataset, *, batch_size: int = 256
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """ONE pages scan → (id edge table, vertex-id table incl. isolated
+    pages).
+
+    The two-output split that ``pages_pipeline`` needs: branching a lazy
+    Dataset re-executes the whole extraction per consumer (Ray Data
+    lineage is a tree, not a DAG), and the html scan is by far the most
+    expensive pass over a crawl — at 10^12 documents a second scan
+    doubles the pipeline's dominant cost.  One task-fused pass emits edge
+    rows plus a null-dst marker row per page; the combined table (urls
+    only, no html — ~2 % of the input bytes) materializes ONCE and both
+    consumers read the cached blocks."""
+    combined = pages.select_columns(["url", "html"]).map_batches(
+        _href_and_marker_task, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    def edge_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        e = t.filter(pc.is_valid(t["dst_url"]))
+        return pa.table(
+            {
+                "src": urls_to_ids(e["src_url"]),
+                "dst": urls_to_ids(e["dst_url"]),
+            }
+        )
+
+    def vert_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.filter(pc.is_null(t["dst_url"]))
+        return pa.table({"vertex": urls_to_ids(m["src_url"])})
+
+    edges = combined.map_batches(edge_ids, batch_format="pyarrow")
+    verts = combined.map_batches(vert_ids, batch_format="pyarrow")
+    return edges, verts

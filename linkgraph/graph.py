@@ -331,3 +331,104 @@ def fingerprint(edges: rd.Dataset) -> tuple[int, int]:
     for p in partials:
         h = (h + int(p["h"])) % (1 << 64)
     return n, h
+
+
+def modularity(
+    edges: rd.Dataset,
+    labels: rd.Dataset,
+    *,
+    num_partitions: int | None = None,
+) -> dict:
+    """Newman modularity Q of a vertex labeling over the undirected graph
+    (Newman & Girvan 2004): ``Q = intra/m − Σ_c (d_c / 2m)²`` over the
+    canonical edge set (self-loops dropped, lo/hi oriented, deduped) —
+    the community-quality metric that evaluates a CC / label-propagation
+    / external clustering against the null model.
+
+    Distributed plan: canonicalize; attach each endpoint's community by
+    two broadcast joins (auto bucket fallback past the memory gate —
+    ``partition.broadcast_join``); then ``m`` and ``intra`` fold as
+    per-block int partials while per-community degrees come from ONE
+    groupby over per-block (community, count) partials — each edge
+    contributes 1 to both endpoints' communities, so no separate degree
+    pass is needed.  Only scalars and the (bounded) per-community
+    degree table move; the joined edge table materializes once and is
+    consumed by both passes.
+
+    Returns ``{"m": int, "intra": int, "modularity": float}``.  Float
+    convention: ``intra/m − ssq/(4·m·m)`` in that exact op order (the
+    SQL oracle twin's expression); community-sum order differs from SQL
+    by ulps, absorbed by 6-dp rounding at the query layer.
+    """
+    from linkgraph.partition import broadcast_join
+    from linkgraph.runtime import tune_context
+
+    tune_context()
+    num_partitions = num_partitions or default_partitions()
+    # GLOBAL dedup: a duplicate (u, v) pair surviving across blocks would
+    # double-count m, intra AND both endpoints' community degrees
+    canon = canonicalize(edges, global_dedup=True)
+
+    def lab_as(t: pa.Table, key: str, out: str) -> pa.Table:
+        return pa.table({key: t["vertex"], out: t["label"]})
+
+    l1 = labels.map_batches(lambda t: lab_as(t, "src", "c1"), batch_format="pyarrow")
+    l2 = labels.map_batches(lambda t: lab_as(t, "dst", "c2"), batch_format="pyarrow")
+    joined = broadcast_join(
+        broadcast_join(canon, l1, left_on="src", right_on="src"),
+        l2,
+        left_on="dst",
+        right_on="dst",
+    ).materialize()
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"m": pa.array([], pa.int64()), "intra": pa.array([], pa.int64())}
+            )
+        c1 = t["c1"].to_numpy(zero_copy_only=False)
+        c2 = t["c2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array([len(c1)], pa.int64()),
+                "intra": pa.array([int((c1 == c2).sum())], pa.int64()),
+            }
+        )
+
+    scalars = joined.map_batches(counts_partial, batch_format="pyarrow").take_all()
+    m = sum(r["m"] for r in scalars)
+    intra = sum(r["intra"] for r in scalars)
+    if m == 0:
+        return {"m": 0, "intra": 0, "modularity": 0.0}
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        c = np.concatenate(
+            [
+                t["c1"].to_numpy(zero_copy_only=False),
+                t["c2"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"label": pa.array(u), "cnt": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    dc = (
+        joined.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("label", num_partitions=num_partitions)
+        .aggregate(Sum("cnt", alias_name="d"))
+    )
+
+    def ssq_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"s": pa.array([], pa.float64())})
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"s": pa.array([float((d * d).sum())])})
+
+    ssq = sum(r["s"] for r in dc.map_batches(ssq_partial, batch_format="pyarrow").take_all())
+    q = intra / m - ssq / (4.0 * m * m)
+    return {"m": int(m), "intra": int(intra), "modularity": q}

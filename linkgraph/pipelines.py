@@ -135,10 +135,13 @@ def pages_pipeline(
     checkpointer=None,
     resume: bool = False,
 ):
-    """North-rule pipeline: pages → extract hrefs → id edges → CC labels."""
-    url_edges = extract.pages_to_url_edges(pages)
-    edges = extract.url_edges_to_ids(url_edges)
-    verts = extract.url_id_map(pages).select_columns(["vertex"])
+    """North-rule pipeline: pages → extract hrefs → id edges → CC labels.
+
+    One pages scan total: ``pages_to_edges_and_vertices`` emits the edge
+    table AND the vertex universe (isolated pages included) from a single
+    task-fused extraction pass — a second html scan would double the
+    dominant cost of the pipeline at crawl scale."""
+    edges, verts = extract.pages_to_edges_and_vertices(pages)
     return connected_components(
         edges,
         vertices=verts,

@@ -168,3 +168,52 @@ def test_task_fused_mode_identical_to_actor_pool():
     # golden-text contract holds with filler pages in both modes
     golden = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
     assert all(golden[u] == txt for u, txt in t_tasks)
+
+
+def test_one_scan_pipeline_matches_two_scan():
+    """pages_to_edges_and_vertices (one pages scan) must produce exactly
+    the edge table and vertex universe the two-scan recipe produced —
+    including an isolated page with no surviving links."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from linkgraph import extract, synth
+
+    pages, _, _ = synth.make_pages(120, seed=5, num_components=3)
+    # append an isolated page: only a self-link (dropped as a self-loop)
+    iso_url = "https://isolated.example.org/only"
+    iso = pa.table(
+        {
+            "url": [iso_url],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array(
+                [f'<a href="{iso_url}">self</a>'.encode()], pa.binary()
+            ),
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    all_pages = pa.concat_tables([pages, iso], promote_options="permissive")
+    ds = rd.from_arrow(all_pages)
+
+    edges1, verts1 = extract.pages_to_edges_and_vertices(ds)
+    e1 = sorted((r["src"], r["dst"]) for r in edges1.take_all())
+    v1 = sorted(r["vertex"] for r in verts1.take_all())
+
+    e2 = sorted(
+        (r["src"], r["dst"])
+        for r in extract.url_edges_to_ids(
+            extract.pages_to_url_edges(ds)
+        ).take_all()
+    )
+    v2 = sorted(
+        r["vertex"]
+        for r in extract.url_id_map(ds).select_columns(["vertex"]).take_all()
+    )
+    assert e1 == e2 and v1 == v2 and len(v1) == 121
+
+    # the pipeline labels the isolated page as its own singleton component
+    from linkgraph.pipelines import pages_pipeline
+
+    res = pages_pipeline(ds, num_partitions=4)
+    assert res.num_components == 3 + 1

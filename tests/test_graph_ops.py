@@ -57,3 +57,99 @@ def test_fingerprint_order_invariant():
         {"src": np.array([1, 2, 3], dtype=np.int64), "dst": np.array([4, 5, 7], dtype=np.int64)}
     )
     assert G.fingerprint(G.from_arrow_edges(t3)) != a
+
+
+def test_modularity_matches_brute_force():
+    """Newman Q vs a dict-based brute force on a random labeling, with
+    duplicate and self-loop edges that must not double count."""
+    import ray.data as rd
+
+    from linkgraph.graph import modularity
+
+    rng = np.random.default_rng(61)
+    src = rng.integers(0, 40, 150)
+    dst = rng.integers(0, 40, 150)
+    # inject duplicates (same pair, both orders) and self loops
+    src = np.concatenate([src, src[:20], dst[:10], np.arange(5)])
+    dst = np.concatenate([dst, dst[:20], src[:10], np.arange(5)])
+    labels = {v: int(v) % 4 for v in range(40)}
+
+    pairs = {(min(int(a), int(b)), max(int(a), int(b)))
+             for a, b in zip(src, dst) if a != b}
+    m = len(pairs)
+    intra = sum(1 for u, v in pairs if labels[u] == labels[v])
+    dc = {}
+    for u, v in pairs:
+        dc[labels[u]] = dc.get(labels[u], 0) + 1
+        dc[labels[v]] = dc.get(labels[v], 0) + 1
+    q_exp = intra / m - sum(d * d for d in dc.values()) / (4.0 * m * m)
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(3)
+    lab = rd.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array(sorted(labels), pa.int64()),
+                "label": pa.array([labels[v] for v in sorted(labels)], pa.int64()),
+            }
+        )
+    )
+    out = modularity(edges, lab)
+    assert out["m"] == m and out["intra"] == intra
+    assert abs(out["modularity"] - q_exp) < 1e-12
+
+
+def test_modularity_extremes():
+    """All-one-community Q = 1 − 1 = 0; the perfect 2-clique split is the
+    textbook positive case; empty graph well-defined."""
+    import ray.data as rd
+
+    from linkgraph.graph import modularity
+
+    def clique(base, k):
+        s, t = [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                s.append(base + i)
+                t.append(base + j)
+        return s, t
+
+    s1, t1 = clique(0, 4)
+    s2, t2 = clique(10, 4)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(s1 + s2 + [0], pa.int64()),
+                "dst": pa.array(t1 + t2 + [10], pa.int64()),
+            }
+        )
+    )
+    verts = list(range(4)) + list(range(10, 14))
+    one = rd.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array(verts, pa.int64()),
+                "label": pa.array([0] * 8, pa.int64()),
+            }
+        )
+    )
+    out_one = modularity(edges, one)
+    assert abs(out_one["modularity"] - 0.0) < 1e-12
+    split = rd.from_arrow(
+        pa.table(
+            {
+                "vertex": pa.array(verts, pa.int64()),
+                "label": pa.array([0] * 4 + [1] * 4, pa.int64()),
+            }
+        )
+    )
+    out_split = modularity(edges, split)
+    # 13 edges, 12 intra, each community degree sum 13
+    exp = 12 / 13 - 2 * (13 / 26) ** 2
+    assert abs(out_split["modularity"] - exp) < 1e-12
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert modularity(empty, one)["modularity"] == 0.0
