@@ -32,6 +32,67 @@ def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
 
 # -- filters / projections / aggregations -----------------------------------
 
+def lowcard_grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> pa.Table:
+    """Shuffle-free grouped aggregate for LOW-cardinality keys.
+
+    ``aggs`` is ``[(column, fn, alias)]`` with ``fn`` one of
+    sum / min / max / count.  Per block, Arrow's C++ ``group_by`` computes
+    the partial (≤ |groups-in-block| rows leave the worker); the driver
+    folds the partials with one more Arrow ``group_by`` (sum of sums /
+    min of mins / max of maxes / sum of counts).  Exactness contract
+    unchanged from the shuffling groupby: int64 sums and min/max are
+    order-free, so results are identical at any parallelism.
+
+    Why: Ray's hash-shuffle aggregate spawns a fresh aggregator actor
+    pool per execution — measured 3.4 s of a 3.5 s wall for a 6-group
+    aggregate over 600 k rows (the data work was ~0.1 s).  For the
+    TPC-H-shaped summaries (5-6 groups) the shuffle moves nothing the
+    driver fold can't carry.  Scale bound: driver traffic is
+    O(blocks × groups) tiny rows — at 10^6 blocks × 10 groups that is
+    10^7 fold rows; beyond that regime (or for high-cardinality keys)
+    use the shuffling ``groupby`` as before.
+    """
+    _FOLD = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, fn, _ in aggs:
+        if fn not in _FOLD:
+            raise ValueError(f"unsupported lowcard agg fn {fn!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({})
+        if any(fn == "count" for _, fn, _ in aggs):
+            t = t.append_column(
+                "_lc_one", pa.array(np.ones(len(t), dtype=np.int64))
+            )
+        spec = [
+            ("_lc_one" if fn == "count" else col, "sum" if fn == "count" else fn)
+            for col, fn, _ in aggs
+        ]
+        g = t.group_by(keys).aggregate(spec)
+        cols = {k: g[k] for k in keys}
+        for (col, fn, alias), (scol, sfn) in zip(aggs, spec):
+            cols[alias] = g[f"{scol}_{sfn}"]
+        return pa.table(cols)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table({})
+    folded = (
+        pa.Table.from_pylist(rows)
+        .group_by(keys)
+        .aggregate([(alias, _FOLD[fn]) for _, fn, alias in aggs])
+    )
+    cols = {k: folded[k] for k in keys}
+    for _, fn, alias in aggs:
+        cols[alias] = folded[f"{alias}_{_FOLD[fn]}"]
+    out = pa.table(cols)
+    return out.take(pa.compute.sort_indices(out, sort_keys=[(k, "ascending") for k in keys]))
+
+
 def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-shaped: filter on ship date, grouped pricing aggregates.
 
@@ -71,14 +132,19 @@ def lineitem_pricing_summary(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    agg = (
-        li.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_np())
-        .aggregate(
-            Sum("qty_c", alias_name="qty_sum"),
-            Sum("base_c", alias_name="base_sum"),
-            Sum("disc_c", alias_name="disc_sum"),
-            Count(alias_name="count_order"),
+    # 6 groups: the shuffle-free per-block partial + driver fold (see
+    # lowcard_grouped_agg — the shuffling groupby spent 3.4 s of a 3.5 s
+    # wall spawning its aggregator pool at this cardinality)
+    agg = rd.from_arrow(
+        lowcard_grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("qty_c", "sum", "qty_sum"),
+                ("base_c", "sum", "base_sum"),
+                ("disc_c", "sum", "disc_sum"),
+                ("qty_c", "count", "count_order"),
+            ],
         )
     )
 
@@ -122,14 +188,16 @@ def orders_priority_stats(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    agg = (
-        o.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_orderpriority", num_partitions=_np())
-        .aggregate(
-            Min("o_totalprice", alias_name="min_price"),
-            Max("o_totalprice", alias_name="max_price"),
-            Sum("price_c", alias_name="price_sum"),
-            Count(alias_name="n_orders"),
+    agg = rd.from_arrow(
+        lowcard_grouped_agg(
+            o.map_batches(prep, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            [
+                ("o_totalprice", "min", "min_price"),
+                ("o_totalprice", "max", "max_price"),
+                ("price_c", "sum", "price_sum"),
+                ("price_c", "count", "n_orders"),
+            ],
         )
     )
 
@@ -164,10 +232,15 @@ def events_by_type(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    agg = (
-        ev.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=_np())
-        .aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="value_sum"))
+    agg = rd.from_arrow(
+        lowcard_grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"],
+            [
+                ("value_u", "count", "n_events"),
+                ("value_u", "sum", "value_sum"),
+            ],
+        )
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -251,8 +324,15 @@ def orders_per_segment(sf_dir: str) -> rd.Dataset:
     )
     c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = broadcast_join(o, c, left_on="o_custkey", right_on="c_custkey")
-    agg = joined.groupby("c_mktsegment", num_partitions=_np()).aggregate(
-        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_sum")
+    agg = rd.from_arrow(
+        lowcard_grouped_agg(
+            joined,
+            ["c_mktsegment"],
+            [
+                ("price_c", "count", "n_orders"),
+                ("price_c", "sum", "price_sum"),
+            ],
+        )
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -312,7 +392,9 @@ def top_docs_by_chars(sf_dir: str) -> rd.Dataset:
 
 def lang_distribution(sf_dir: str) -> rd.Dataset:
     d = _read(sf_dir, "documents", ["lang"])
-    return d.groupby("lang", num_partitions=_np()).aggregate(Count(alias_name="n_docs"))
+    return rd.from_arrow(
+        lowcard_grouped_agg(d, ["lang"], [("lang", "count", "n_docs")])
+    )
 
 
 def distinct_users(sf_dir: str) -> rd.Dataset:
