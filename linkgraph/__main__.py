@@ -9,8 +9,8 @@ cluster.  Submit with e.g.::
 Subcommands mirror the kernel surface: ``cc``, ``pagerank``, ``labelprop``,
 ``triangles``, ``bfs``, ``sssp`` (parquet-only — the MTX reader discards
 edge values, reference parity), ``ppr`` (personalized PageRank over a seed
-set), ``hits`` (hubs & authorities), ``extract-cc`` (pages parquet → href
-edges → components).
+set), ``hits`` (hubs & authorities), ``walks`` (hash-driven random-walk
+corpus), ``extract-cc`` (pages parquet → href edges → components).
 Results are written as partitioned Parquet (resumable output — one file per
 block, never one giant file) and a one-line JSON summary goes to stdout.
 
@@ -119,6 +119,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--tol", type=float, default=0.0)
     sp.add_argument("--output", required=True, help="output parquet directory")
     sp.add_argument("--num-partitions", type=int, default=None)
+
+    sp = sub.add_parser("walks")
+    src_grp = sp.add_mutually_exclusive_group(required=True)
+    src_grp.add_argument("--edges", help="edge parquet (src, dst)")
+    src_grp.add_argument("--mtx", help="Matrix Market edge-list file")
+    sp.add_argument("--starts", required=True,
+                    help="comma-separated start vertex ids")
+    sp.add_argument("--length", type=int, default=10)
+    sp.add_argument("--walks-per-start", type=int, default=1)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--output", required=True, help="output parquet directory")
 
     sp = sub.add_parser("extract-cc")
     sp.add_argument("--pages", required=True,
@@ -252,6 +263,22 @@ def main(argv: list[str] | None = None) -> int:
         res.scores.write_parquet(args.output)
         summary = {"cmd": "hits", "num_vertices": res.num_vertices,
                    "iterations": res.num_iterations}
+    elif args.cmd == "walks":
+        from linkgraph.walks import random_walks
+
+        starts = [int(s) for s in args.starts.split(",") if s.strip()]
+        walks, metrics = random_walks(
+            _edge_input(args),
+            starts,
+            length=args.length,
+            walks_per_start=args.walks_per_start,
+            seed=args.seed,
+        )
+        walks.write_parquet(args.output)
+        summary = {"cmd": "walks", "rows": walks.count(),
+                   "num_starts": metrics[0]["num_starts"],
+                   "length": args.length,
+                   "walks_per_start": args.walks_per_start}
     elif args.cmd == "extract-cc":
         import ray.data as rd
 

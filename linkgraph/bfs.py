@@ -361,8 +361,10 @@ def closeness_centrality(
     per-block partial — the distance table never lands on the driver.
 
     Returns ``(stats, metrics)``: stats has one row per (sampled) source
-    ``(source, n_reachable, sum_dist, closeness)``; metrics records the
-    source count and whether sampling was applied."""
+    ``(source, n_reachable, sum_dist, closeness, harmonic)`` — harmonic
+    is the Σ 1/d variant (Boldi & Vigna 2014), robust to disconnected
+    graphs, from the same fold; metrics records the source count and
+    whether sampling was applied."""
     t0 = time.perf_counter()
     sampled = False
     if sources is None:
@@ -390,8 +392,20 @@ def closeness_centrality(
     def stats_partial(t: pa.Table) -> pa.Table:
         n = len(t) if t.num_columns else 0
         s = int(pc.sum(t["dist"]).as_py() or 0) if n else 0
+        # harmonic term Σ 1/d over reached vertices (d > 0) — the
+        # disconnection-robust centrality (Boldi & Vigna 2014) falls out
+        # of the same per-block fold for free
+        if n:
+            d = t["dist"].to_numpy(zero_copy_only=False).astype(np.float64)
+            h = float((1.0 / d[d > 0]).sum())
+        else:
+            h = 0.0
         return pa.table(
-            {"n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64())}
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s], pa.int64()),
+                "h": pa.array([h], pa.float64()),
+            }
         )
 
     rows = []
@@ -407,8 +421,9 @@ def closeness_centrality(
         parts = dists.map_batches(stats_partial, batch_format="pyarrow").take_all()
         n = sum(r["n"] for r in parts)
         total = sum(r["s"] for r in parts)
+        harm = sum(r["h"] for r in parts)
         clo = (n - 1) / total if total else 0.0
-        rows.append((src, n, total, clo))
+        rows.append((src, n, total, clo, harm))
         metrics.append(
             {"source": src, "n_reachable": n, "sum_dist": total,
              "supersteps": len(bfs_metrics),
@@ -421,6 +436,7 @@ def closeness_centrality(
                 "n_reachable": pa.array([x[1] for x in rows], pa.int64()),
                 "sum_dist": pa.array([x[2] for x in rows], pa.int64()),
                 "closeness": pa.array([x[3] for x in rows], pa.float64()),
+                "harmonic": pa.array([x[4] for x in rows], pa.float64()),
             }
         )
     )

@@ -235,10 +235,16 @@ def test_closeness_centrality_exhaustive_matches_brute():
     got = {r["source"]: r for r in stats.take_all()}
     # sum of hop distances from each position on a 5-path
     exp_sum = {0: 10, 1: 7, 2: 6, 3: 7, 4: 10}
+    h = lambda *ds: sum(1.0 / d for d in ds)
+    exp_harm = {
+        0: h(1, 2, 3, 4), 1: h(1, 1, 2, 3), 2: h(2, 1, 1, 2),
+        3: h(3, 2, 1, 1), 4: h(4, 3, 2, 1),
+    }
     for v, s in exp_sum.items():
         assert got[v]["n_reachable"] == 5
         assert got[v]["sum_dist"] == s
         assert abs(got[v]["closeness"] - 4 / s) < 1e-12
+        assert abs(got[v]["harmonic"] - exp_harm[v]) < 1e-12
     assert metrics[0]["sampled"] is False
 
 

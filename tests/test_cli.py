@@ -141,3 +141,19 @@ def test_cli_ppr_and_hits(tmp_path, capsys):
     got2 = pq.read_table(out2)
     assert {"vertex", "hub", "authority"} <= set(got2.column_names)
     assert got2.num_rows == summary["num_vertices"]
+
+
+def test_cli_walks(tmp_path, capsys):
+    edges, _ = synth.make_planted_graph(100, 2, 4, seed=23)
+    inp = str(tmp_path / "edges.parquet")
+    pq.write_table(edges, inp)
+    out = str(tmp_path / "walks")
+    rc = main([
+        "walks", "--edges", inp, "--starts", "0,50", "--length", "4",
+        "--walks-per-start", "2", "--output", out,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 2 * 2 * 5  # 2 starts x 2 walks x steps 0..4
+    got = pq.read_table(out)
+    assert set(got.column_names) == {"start", "widx", "step", "vertex"}
