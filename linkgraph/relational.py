@@ -1552,23 +1552,12 @@ def doc_packing_bins(sf_dir: str, budget: int = 100_000) -> rd.Dataset:
 
 def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     """Exact dedup by text content: keep min doc_id per text, report group
-    size.  Hash-partition + per-group-first (SURVEY.md §2.7 mapping);
-    hashing is the vectorized ``content_hash64`` (no per-row Python)."""
-    from linkgraph.runtime import content_hash64
+    size (SURVEY.md §2.7 mapping) — delegates to ``dedup.exact_dedup``
+    (range-sort segment aggregate, ~2× the hash groupby; rationale
+    there)."""
+    from linkgraph.dedup import exact_dedup
 
-    d = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def hash_block(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"h": pa.array(content_hash64(t["text"])), "doc_id": t["doc_id"]}
-        )
-
-    return (
-        d.map_batches(hash_block, batch_format="pyarrow")
-        .groupby("h", num_partitions=_np())
-        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
-        .select_columns(["keep_id", "n_dups"])
-    )
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 # -- text analysis with SQL oracle ------------------------------------------
