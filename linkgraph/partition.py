@@ -63,6 +63,23 @@ def _key_hash(t: pa.Table, on: list[str], seed: int) -> np.ndarray:
     return acc
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_cached(ref):
+    """Per-process cache of a broadcast lookup (ObjectRefs hash stably).
+    Bounded: long sessions run many joins; keep the 8 most recent."""
+    import ray
+
+    v = _BCAST_CACHE.get(ref)
+    if v is None:
+        v = ray.get(ref)
+        if len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[ref] = v
+    return v
+
+
 def broadcast_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -86,8 +103,6 @@ def broadcast_join(
     automatically so callers can use this unconditionally.
     """
     import ray
-
-    from linkgraph.runtime import resolve_concurrency
 
     # Materialize into the (spillable) object store first so the row count is
     # cheap metadata, and only pull blocks onto the driver once the count is
@@ -136,35 +151,35 @@ def broadcast_join(
     pay = tbl.select(payload_cols).take(pa.array(order)).combine_chunks()
     ref = ray.put((skeys, pay))
 
-    class Attach:
-        def __init__(self):
-            import ray as _ray
-
-            self.skeys, self.pay = _ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_columns == 0 or len(t) == 0 or len(self.skeys) == 0:
-                cols = {
-                    c: pa.array([], t.schema.field(c).type)
-                    for c in (t.column_names if t.num_columns else [])
-                }
-                for c in payload_cols:
-                    cols[c] = pa.array([], self.pay.schema.field(c).type)
-                return pa.table(cols or {left_on: pa.array([], pa.int64())})
-            k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            idx = np.searchsorted(self.skeys, k)
-            idx_c = np.minimum(idx, len(self.skeys) - 1)
-            hit = self.skeys[idx_c] == k
-            kept = t.filter(pa.array(hit))
-            take_idx = pa.array(idx_c[hit])
-            cols = {c: kept[c] for c in kept.column_names}
+    # TASK-based attach with a per-process broadcast cache (not an actor
+    # pool): the executor can then FUSE the attach with the left side's
+    # read/prep chain — an actor pool both pays its per-execution spawn
+    # and forces the fact table through the object store between read and
+    # join.  ``ray.get`` of a plasma object inside a worker is zero-copy
+    # for the numpy keys / Arrow payload; the cache only skips repeated
+    # deserialization dispatch on hot paths.
+    def attach(t: pa.Table) -> pa.Table:
+        skeys_l, pay_l = _broadcast_cached(ref)
+        if t.num_columns == 0 or len(t) == 0 or len(skeys_l) == 0:
+            cols = {
+                c: pa.array([], t.schema.field(c).type)
+                for c in (t.column_names if t.num_columns else [])
+            }
             for c in payload_cols:
-                cols[c] = self.pay[c].take(take_idx)
-            return pa.table(cols)
+                cols[c] = pa.array([], pay_l.schema.field(c).type)
+            return pa.table(cols or {left_on: pa.array([], pa.int64())})
+        k = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        idx = np.searchsorted(skeys_l, k)
+        idx_c = np.minimum(idx, len(skeys_l) - 1)
+        hit = skeys_l[idx_c] == k
+        kept = t.filter(pa.array(hit))
+        take_idx = pa.array(idx_c[hit])
+        cols = {c: kept[c] for c in kept.column_names}
+        for c in payload_cols:
+            cols[c] = pay_l[c].take(take_idx)
+        return pa.table(cols)
 
-    return left.map_batches(
-        Attach, batch_format="pyarrow", concurrency=resolve_concurrency(None)
-    )
+    return left.map_batches(attach, batch_format="pyarrow")
 
 
 def bucket_join(
