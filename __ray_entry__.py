@@ -767,6 +767,29 @@ def _membership_nation_modularity(sf_dir: str):
     )
 
 
+def _neighbor_sample_membership(sf_dir: str):
+    """GraphSAGE-style 2-layer neighbor-fanout sample (fanouts [3, 2])
+    seeded at the region vertices of the membership graph — value-checked
+    against a ranked-adjacency join SQL oracle replaying the per-(vertex,
+    layer, draw) hash bit-for-bit (the same determinism contract as the
+    walk corpus; ``linkgraph/sampling.py``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from linkgraph.pipelines import REGION_OFFSET, membership_edges
+    from linkgraph.sampling import neighbor_sample
+
+    rk = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    seeds = [REGION_OFFSET + int(x) for x in rk]
+    sampled, _metrics = neighbor_sample(
+        membership_edges(sf_dir), seeds, fanouts=[3, 2], seed=0
+    )
+    return sampled
+
+
 def _hits_membership_fixed2(sf_dir: str):
     """HITS hubs & authorities (Kleinberg, JACM 1999) on the directed
     membership graph, EXACTLY 2 full iterations with L2 normalization
@@ -1086,23 +1109,24 @@ def _media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order matters: the driver value-checks the FIRST 50 entries.
 
-    With 96 entries and a 50-row cap, coverage rotates per round so no
+    With 97 entries and a 50-row cap, coverage rotates per round so no
     entry's driver row ages more than one round (VERDICT r4 "Next round"
     #1).  Round-5 layout: (a) the 40 entries whose driver rows are r3 —
     led by the five join-family queries whose bucket_join merge switched
     to Arrow's C++ hash join in round 4; (b) the new round-5 entries
     (PageRank/LP checkpoint-resume contracts, the self-gating lang_id,
     personalized PageRank, HITS, the hash-driven walk corpus, nation
-    modularity); (c) three entries whose code round 5 touched (extractor
-    one-scan pipeline, closeness operator, SQL-convention rounding);
-    (d) the 46 entries holding fresh r4 green rows, rotated behind the
+    modularity, GNN neighbor-fanout sampling); (c) two entries whose
+    code round 5 touched most (extractor one-scan pipeline, closeness
+    operator); (d) the 47 entries holding fresh r4 green rows, rotated behind the
     cap — they rest on those rows plus the in-repo pytest oracle gate
     (tests/test_entry_contract.py), which value-checks every
     oracle-paired entry on current code each session (that gate also
     covers the r4-green entries displaced below the cap to make room
-    for the four new kernels: cc_membership_summary / cc_frequent_label
-    / quality_filter_by_lang / knn_ivf_recall — knn_ivf_recall
-    self-certifies in-row, so its driver row was rows-only either way).
+    for the five new kernels: cc_membership_summary / cc_frequent_label
+    / embedding_label_centroids / quality_filter_by_lang /
+    knn_ivf_recall — knn_ivf_recall self-certifies in-row, so its
+    driver row was rows-only either way).
     """
     from linkgraph import relational as R
 
@@ -1156,13 +1180,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_membership_fixed2": _hits_membership_fixed2,
         "random_walks_membership": _random_walks_membership,
         "membership_nation_modularity": _membership_nation_modularity,
+        "neighbor_sample_membership": _neighbor_sample_membership,
         # (c) entries whose code round 5 touched
         "extraction_cc": _extraction_cc,
         "region_closeness": _region_closeness,
-        "embedding_label_centroids": _label_centroids,
-        "quality_filter_by_lang": R.quality_filter_by_lang,
         # ---- 50-entry driver cap ----
         # (d) fresh r4 green rows below; pytest oracle gate re-checks all
+        "embedding_label_centroids": _label_centroids,
         "quality_filter_by_lang": R.quality_filter_by_lang,
         "knn_ivf_recall": _knn_ivf_recall,
         # (cc_membership_summary / cc_frequent_label / knn_ivf_recall
@@ -2423,6 +2447,56 @@ def _oracle_sql_dict(stoplist: str, bpe_sql: str) -> dict[str, str]:
               GROUP BY pv.v, pv.p
             )
             SELECT v AS vertex, round(r, 6) AS score FROM r4
+        """,
+        "neighbor_sample_membership": """
+            WITH base_e AS (
+              SELECT CAST(c_custkey AS BIGINT) AS src,
+                     CAST(2000000000 AS BIGINT) + c_nationkey AS dst FROM customer
+              UNION ALL
+              SELECT CAST(2000000000 AS BIGINT) + n_nationkey AS src,
+                     CAST(3000000000 AS BIGINT) + n_regionkey AS dst FROM nation
+            ),
+            undir AS (
+              SELECT src, dst FROM base_e WHERE src <> dst
+              UNION
+              SELECT dst AS src, src AS dst FROM base_e WHERE src <> dst
+            ),
+            adj AS (
+              SELECT src AS v, dst AS u,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+              FROM undir
+            ),
+            deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+            f0 AS (
+              SELECT DISTINCT CAST(3000000000 AS BIGINT) + r_regionkey AS v FROM region
+            ),
+            l1 AS (
+              SELECT 1 AS layer, f0.v AS src, a.u AS dst,
+                     CAST(gs.j AS INTEGER) AS draw
+              FROM f0
+              CROSS JOIN generate_series(0, 2) gs(j)
+              JOIN deg dg ON dg.v = f0.v
+              JOIN adj a ON a.v = f0.v
+               AND a.rk = ((f0.v % 2147483647) * 1103515245
+                           + gs.j * CAST(12345 AS BIGINT)
+                           + 1 * CAST(747796405 AS BIGINT))
+                          % 2147483647 % dg.d
+            ),
+            f1 AS (SELECT DISTINCT dst AS v FROM l1),
+            l2 AS (
+              SELECT 2 AS layer, f1.v AS src, a.u AS dst,
+                     CAST(gs.j AS INTEGER) AS draw
+              FROM f1
+              CROSS JOIN generate_series(0, 1) gs(j)
+              JOIN deg dg ON dg.v = f1.v
+              JOIN adj a ON a.v = f1.v
+               AND a.rk = ((f1.v % 2147483647) * 1103515245
+                           + gs.j * CAST(12345 AS BIGINT)
+                           + 2 * CAST(747796405 AS BIGINT))
+                          % 2147483647 % dg.d
+            )
+            SELECT layer, src, dst, draw FROM l1
+            UNION ALL SELECT layer, src, dst, draw FROM l2
         """,
         "membership_nation_modularity": """
             WITH base_e AS (
